@@ -1,0 +1,83 @@
+"""STFT for TPU.
+
+Semantics match torchaudio.transforms.Spectrogram(power=None) as used by the
+reference extractors (src/utils/feature.py:28-31): center=True, reflect padding,
+onesided, no normalization, win_length = n_fft.
+
+Two formulations:
+
+* ``stft``      — framing + jnp.fft.rfft. Reference/oracle path.
+* ``stft_dft``  — windowed DFT as a single real matmul on the MXU
+                  (frames @ [window ⊙ cos | window ⊙ -sin]). On TPU the FFT is a
+                  composite XLA lowering; for n_fft ≤ ~2048 the dense-DFT matmul
+                  rides the 128x128 systolic array and fuses with the downstream
+                  mel matmul, which is the win the fused frontend exploits.
+
+Both return (real, imag) with layout (..., n_frames, n_freqs): time-major, which
+is what every consumer here wants (the torch reference instead emits (F, T) and
+transposes afterwards).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .windows import get_window
+
+
+def _reflect_pad_last(x: jnp.ndarray, pad: int) -> jnp.ndarray:
+    cfg = [(0, 0)] * (x.ndim - 1) + [(pad, pad)]
+    return jnp.pad(x, cfg, mode="reflect")
+
+
+def frame_signal(x: jnp.ndarray, n_fft: int, hop: int, center: bool = True) -> jnp.ndarray:
+    """(..., samples) -> (..., n_frames, n_fft) with torch-style centering."""
+    if center:
+        x = _reflect_pad_last(x, n_fft // 2)
+    n = x.shape[-1]
+    n_frames = 1 + (n - n_fft) // hop
+    # gather frame starts; XLA turns this into an efficient dynamic-slice loop and
+    # the Pallas frontend replaces it with VMEM-resident overlapping loads.
+    idx = np.arange(n_frames)[:, None] * hop + np.arange(n_fft)[None, :]
+    return x[..., idx]
+
+
+def dft_matrices(n_fft: int, window: np.ndarray, dtype=np.float32):
+    """Real/imag DFT basis pre-multiplied by the analysis window.
+
+    Returns (wcos, wsin) of shape (n_fft, n_freqs) such that for a frame f:
+    real = f @ wcos, imag = f @ wsin (matching numpy's rfft sign convention).
+    """
+    n_freqs = n_fft // 2 + 1
+    n = np.arange(n_fft)[:, None]
+    k = np.arange(n_freqs)[None, :]
+    ang = 2.0 * np.pi * n * k / n_fft
+    wcos = (np.cos(ang) * window[:, None]).astype(dtype)
+    wsin = (-np.sin(ang) * window[:, None]).astype(dtype)
+    return wcos, wsin
+
+
+@partial(jax.jit, static_argnames=("n_fft", "hop", "window", "center"))
+def stft(x: jnp.ndarray, n_fft: int, hop: int, window: str = "hann", center: bool = True):
+    """FFT-based STFT. Returns (real, imag), shape (..., n_frames, n_freqs)."""
+    win = jnp.asarray(get_window(window, n_fft), dtype=x.dtype)
+    frames = frame_signal(x, n_fft, hop, center) * win
+    spec = jnp.fft.rfft(frames, axis=-1)
+    return jnp.real(spec).astype(x.dtype), jnp.imag(spec).astype(x.dtype)
+
+
+@partial(jax.jit, static_argnames=("n_fft", "hop", "window", "center"))
+def stft_dft(x: jnp.ndarray, n_fft: int, hop: int, window: str = "hann", center: bool = True):
+    """Matmul-DFT STFT (MXU path). Same contract as ``stft``."""
+    win = get_window(window, n_fft)
+    wcos, wsin = dft_matrices(n_fft, win)
+    wcos = jnp.asarray(wcos, dtype=x.dtype)
+    wsin = jnp.asarray(wsin, dtype=x.dtype)
+    frames = frame_signal(x, n_fft, hop, center)
+    real = jnp.einsum("...tn,nf->...tf", frames, wcos, precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)
+    imag = jnp.einsum("...tn,nf->...tf", frames, wsin, precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)
+    return real.astype(x.dtype), imag.astype(x.dtype)
