@@ -1,0 +1,275 @@
+"""Training / validation / test loops (the Lightning-Trainer role).
+
+Parity targets: reference src/models/model_module.py (training_step :70-81,
+validation epoch end :111-146, test epoch end :165-180) and
+components/model_module.py (pred_aggregation :177-222, dcase conversion
+:224-240, move_avg :304-330), with orbax checkpoints monitoring
+val/macro/SELD_scr (reference configs/callbacks/default.yaml:8-14).
+"""
+
+import json
+import logging
+import time
+from collections import OrderedDict
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from ..metrics import (SELDMetrics, accdoa_label_to_dcase_format,
+                       convert_output_format_cartesian_to_polar,
+                       get_accdoa_labels, get_multi_accdoa_labels,
+                       multi_accdoa_to_dcase_format, to_metrics_format,
+                       track_to_dcase_format, write_output_format_file)
+
+log = logging.getLogger("pseldnets")
+
+
+def _sigmoid(x):
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+class Aggregator:
+    """Decode accumulated step outputs into frame streams (pred_aggregation)."""
+
+    def __init__(self, cfg, method, num_classes, label_res=0.1):
+        self.cfg = cfg
+        self.method = method
+        self.num_classes = num_classes
+        self.label_res = label_res
+        self.outputs = []
+        self.num_preds_per_chunk = int(cfg["data"]["test_chunklen_sec"] / label_res)
+
+    def append(self, preds: Dict):
+        self.outputs.append({k: np.asarray(v, np.float32) for k, v in preds.items()})
+
+    def get_num_frames(self, x):
+        return int(np.ceil(x / self.num_preds_per_chunk) * self.num_preds_per_chunk)
+
+    def aggregate(self, paths_dict: Optional[OrderedDict] = None):
+        thr = self.cfg.get("sed_threshold", 0.5)
+        thr = np.asarray(thr, np.float32)
+        K = self.num_classes
+        if self.method == "accdoa":
+            pred = np.concatenate([o["accdoa"] for o in self.outputs], axis=0)
+            sed, doa = get_accdoa_labels(pred, K, thr)
+            return sed.reshape(-1, K), doa.reshape(-1, 3 * K)
+        if self.method == "einv2":
+            sed = _sigmoid(np.concatenate([o["sed"] for o in self.outputs], axis=0))
+            doa = np.concatenate([o["doa"] for o in self.outputs], axis=0)
+            # keep only the top class per track, then threshold
+            top = np.argmax(sed, axis=-1)
+            mask = np.zeros_like(sed, bool)
+            np.put_along_axis(mask, top[..., None], True, axis=-1)
+            sed = (sed > thr) & mask
+            B, T, tracks = sed.shape[:3]
+            return (sed.reshape(B * T, tracks, -1),
+                    doa.reshape(B * T, tracks, -1))
+        if self.method == "multi_accdoa":
+            pred = np.concatenate([o["multi_accdoa"] for o in self.outputs], axis=0)
+            if self.cfg.get("post_processing") == "move_avg" and paths_dict:
+                pred = self.move_avg(pred, paths_dict)
+            sed, doa = get_multi_accdoa_labels(pred, K, thr)
+            sed = sed.reshape(3, -1, K).transpose(1, 0, 2)  # (N*T, tracks, K)
+            doa = doa.reshape(3, -1, 3 * K).transpose(1, 0, 2)
+            return sed, doa
+        raise NotImplementedError(self.method)
+
+    def move_avg(self, preds, paths_dict):
+        """Overlapped-chunk moving-average stitching (reference
+        components/model_module.py:304-330)."""
+        test_chunk = self.cfg["data"]["test_chunklen_sec"]
+        test_hop = self.cfg["data"]["test_hoplen_sec"]
+        assert test_chunk % test_hop == 0
+        chunk_len = int(test_hop / self.label_res)
+        outputs = []
+        batch_ind = 0
+        for seg_len in paths_dict.values():
+            num_chunks = int(np.ceil((seg_len - test_chunk / self.label_res)
+                                     / chunk_len)) + 1
+            valid_chunks = int(np.ceil(seg_len / chunk_len))
+            tgt_len = self.get_num_frames(seg_len)
+            local = preds[batch_ind:batch_ind + num_chunks]
+            pieces = []
+            for i in range(valid_chunks):
+                left = int(max(0, i - test_chunk // test_hop + 1))
+                right = int(min(i + 1, num_chunks))
+                stack = [local[j, (i - j) * chunk_len:(i - j + 1) * chunk_len]
+                         for j in range(left, right)]
+                pieces.append(np.mean(np.stack(stack, 0), axis=0))
+            res = np.concatenate(pieces, axis=0)
+            if res.shape[0] < tgt_len:
+                res = np.concatenate(
+                    [res, np.zeros((tgt_len - res.shape[0],) + res.shape[1:],
+                                   res.dtype)], axis=0)
+            else:
+                res = res[:tgt_len]
+            outputs.append(res)
+            batch_ind += num_chunks
+        return np.concatenate(outputs)[None]
+
+    def to_dcase_polar(self, pred_sed, pred_doa):
+        """(reference convert_to_dcase_format_polar :224-240)."""
+        if self.method == "accdoa":
+            d = accdoa_label_to_dcase_format(pred_sed, pred_doa, self.num_classes)
+            return convert_output_format_cartesian_to_polar(d)
+        if self.method == "einv2":
+            azi = np.arctan2(pred_doa[..., 1], pred_doa[..., 0])
+            ele = np.arctan2(pred_doa[..., 2],
+                             np.sqrt(pred_doa[..., 0] ** 2 + pred_doa[..., 1] ** 2))
+            return track_to_dcase_format(pred_sed, np.stack((azi, ele), axis=-1))
+        if self.method == "multi_accdoa":
+            sed = pred_sed.transpose(1, 0, 2)
+            doa = pred_doa.transpose(1, 0, 2)
+            d = multi_accdoa_to_dcase_format(sed, doa, nb_classes=self.num_classes)
+            return convert_output_format_cartesian_to_polar(d)
+        raise NotImplementedError(self.method)
+
+
+class MeanMeter:
+    def __init__(self):
+        self.total = 0.0
+        self.count = 0
+
+    def update(self, v):
+        self.total += float(v)
+        self.count += 1
+
+    def compute(self):
+        return self.total / max(self.count, 1)
+
+
+def run_validation(task, datamodule, state, metrics: SELDMetrics,
+                   compute_loss: bool = True):
+    """-> (macro_dict, micro_dict, val_losses). Mirrors validation_step +
+    on_validation_epoch_end."""
+    agg = Aggregator(task.cfg, task.method, task.num_classes, task.label_res)
+    val_losses = {k: MeanMeter() for k in task.loss.loss_dict_keys}
+    post = task.cfg.get("post_processing")
+    for batch in datamodule.val_dataloader():
+        preds = task.eval_step(state, batch, post_processing=post)
+        agg.append(preds)
+        if compute_loss:
+            import jax.numpy as jnp
+
+            targets = {k: jnp.asarray(v) for k, v in batch.items()
+                       if "label" in k}
+            if targets:
+                losses = task.loss(
+                    {k: jnp.asarray(np.asarray(v)) for k, v in preds.items()},
+                    targets)
+                for k, v in losses.items():
+                    val_losses[k].update(float(v) if not isinstance(v, float) else v)
+
+    pred_sed, pred_doa = agg.aggregate(datamodule.paths_dict)
+    metrics.reset()
+    frame_ind = 0
+    for path, loc_frames in datamodule.paths_dict.items():
+        num_frames = agg.get_num_frames(loc_frames)
+        pred_dcase = agg.to_dcase_polar(pred_sed[frame_ind:frame_ind + loc_frames],
+                                        pred_doa[frame_ind:frame_ind + loc_frames])
+        gt_dcase = datamodule.valid_gt_dcaseformat[path]
+        metrics.update_seld_scores(
+            pred=to_metrics_format(pred_dcase, loc_frames),
+            gt=to_metrics_format(gt_dcase, loc_frames))
+        frame_ind += num_frames
+    macro, _ = metrics.compute_seld_scores("macro")
+    micro, _ = metrics.compute_seld_scores("micro")
+    return macro, micro, {k: m.compute() for k, m in val_losses.items()}
+
+
+def run_test(task, datamodule, state, submissions_dir: Path):
+    """Mirrors test_step + on_test_epoch_end: write submission CSVs."""
+    agg = Aggregator(task.cfg, task.method, task.num_classes, task.label_res)
+    post = task.cfg.get("post_processing")
+    for batch in datamodule.test_dataloader():
+        agg.append(task.eval_step(state, batch, post_processing=post))
+    pred_sed, pred_doa = agg.aggregate(datamodule.paths_dict)
+    submissions_dir.mkdir(parents=True, exist_ok=True)
+    frame_ind = 0
+    for path, loc_frames in datamodule.paths_dict.items():
+        num_frames = agg.get_num_frames(loc_frames)
+        pred_dcase = agg.to_dcase_polar(pred_sed[frame_ind:frame_ind + loc_frames],
+                                        pred_doa[frame_ind:frame_ind + loc_frames])
+        write_output_format_file(submissions_dir / (Path(path).stem + ".csv"),
+                                 pred_dcase)
+        frame_ind += num_frames
+    log.info("Results are saved to %s", submissions_dir)
+
+
+def fit(task, datamodule, state, cfg, output_dir: Path):
+    """Training loop: epochs of train steps + per-epoch validation + orbax
+    checkpointing on val/macro/SELD_scr (min)."""
+    import orbax.checkpoint as ocp
+
+    trainer_cfg = cfg.get("trainer", {})
+    max_epochs = int(trainer_cfg.get("max_epochs", 50))
+    check_every = int(trainer_cfg.get("check_val_every_n_epoch", 1))
+    limit_train = trainer_cfg.get("limit_train_batches")
+
+    steps_per_epoch = datamodule.steps_per_epoch()
+    if limit_train:
+        steps_per_epoch = max(int(steps_per_epoch * float(limit_train))
+                              if limit_train <= 1 else int(limit_train), 1)
+
+    ckpt_dir = (output_dir / "checkpoints").resolve()
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    checkpointer = ocp.StandardCheckpointer()
+    metrics = SELDMetrics(nb_classes=task.num_classes, doa_threshold=20)
+    metrics_log = output_dir / "metrics.jsonl"
+    best_score = float("inf")
+    key = jax.random.PRNGKey(cfg.get("seed", 0))
+    stat = {"ov1": 0, "ov2": 0, "ov3": 0}
+
+    loader = datamodule.train_dataloader(num_batches=steps_per_epoch * max_epochs)
+    step_in_epoch = 0
+    epoch = 0
+    train_losses = {k: MeanMeter() for k in task.loss.loss_dict_keys}
+    t0 = time.time()
+    for batch in loader:
+        key, sub = jax.random.split(key)
+        state, losses, ov = task.train_step(state, batch, sub)
+        for k, v in losses.items():
+            train_losses[k].update(float(v) if not isinstance(v, float) else v)
+        if ov is not None:
+            for o in ov:
+                stat[f"ov{o}"] = stat.get(f"ov{o}", 0) + 1
+        step_in_epoch += 1
+        if step_in_epoch < steps_per_epoch:
+            continue
+
+        # ---- epoch end ----
+        epoch += 1
+        step_in_epoch = 0
+        lr = float(task.lr_fn(int(jax.device_get(state.step))))
+        log_line = {"epoch": epoch, "lr": lr,
+                    "train": {k: m.compute() for k, m in train_losses.items()},
+                    "ov_stat": dict(stat), "wall_s": round(time.time() - t0, 1)}
+        train_losses = {k: MeanMeter() for k in task.loss.loss_dict_keys}
+        stat = {"ov1": 0, "ov2": 0, "ov3": 0}
+
+        if epoch % check_every == 0:
+            macro, micro, val_losses = run_validation(task, datamodule, state, metrics)
+            log_line["val"] = {"macro": macro, "micro": micro, "losses": val_losses}
+            log.info("epoch %d val/macro: %s", epoch,
+                     {k: round(v, 4) for k, v in macro.items()})
+            score = macro["SELD_scr"]
+            if score < best_score:
+                best_score = score
+                checkpointer.save(ckpt_dir / f"epoch_{epoch:03d}",
+                                  jax.device_get({"params": state.params,
+                                                  "batch_stats": state.batch_stats}),
+                                  force=True)
+        checkpointer.save(ckpt_dir / "last",
+                          jax.device_get({"params": state.params,
+                                          "batch_stats": state.batch_stats}),
+                          force=True)
+        log.info("epoch %d/%d train: %s lr=%.2e", epoch, max_epochs,
+                 {k: round(v, 4) for k, v in log_line["train"].items()}, lr)
+        with open(metrics_log, "a") as f:
+            f.write(json.dumps(log_line) + "\n")
+        if epoch >= max_epochs:
+            break
+    checkpointer.wait_until_finished()
+    return state

@@ -1,0 +1,309 @@
+"""SELDTask: the training/eval runtime (reference SELDModelModule +
+BaseModelModule, src/models/model_module.py + components/model_module.py),
+rebuilt as pure jitted step functions over a 1-D data mesh.
+
+Step anatomy (reference common_step, model_module.py:47-68):
+  host: [AugMix triplication] -> rotate/wavmix (waveform, numpy)
+  device (one jit): fused logmelIV frontend -> TF augs (traced flags)
+                    -> backbone/head forward -> loss -> grads -> optax update
+Validation/test: device forward (+optional 16-way ACS rotation TTA), host-side
+DCASE decode + SELD metrics (train/loop.py).
+"""
+
+import itertools
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..augment import Crop, FreqShift, Rotation, SpecAugment, TrackMix, WavMix
+from ..losses import build_loss
+from ..models import build_model
+from ..ops import make_extractor
+from ..parallel.mesh import make_mesh, replicate, shard_batch
+from .checkpoint import load_pretrained
+from .optim import build_optimizer
+
+TF_AUG_ORDER = ("specaug", "crop", "freqshift")
+
+
+class TrainState(flax.struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+class SELDTask:
+    def __init__(self, cfg, dataset_spec, steps_per_epoch: int = 1,
+                 mesh=None, num_devices: Optional[int] = None):
+        self.cfg = cfg
+        self.num_classes = dataset_spec.num_classes
+        self.max_ov = dataset_spec.max_ov
+        self.label_res = dataset_spec.label_resolution
+        self.method = cfg["model"]["method"]
+        self.steps_per_epoch = steps_per_epoch
+
+        precision = str(cfg.get("trainer", {}).get("precision", "32-true"))
+        self.compute_dtype = jnp.bfloat16 if "bf16" in precision else jnp.float32
+
+        self.model, self.meta = build_model(cfg, self.num_classes,
+                                            dtype=self.compute_dtype)
+        self.extractor = make_extractor(cfg)
+        self.loss = build_loss(cfg["model"]["loss"])
+        self.loss_type = cfg["model"]["loss"].get("loss_type", "loss_all")
+
+        # augmentation registry (reference model_module.py:61-78)
+        aug = cfg.get("augment", {"type": [], "AugMix": False})
+        self.aug_type = list(aug.get("type", []) or [])
+        self.augmix = bool(aug.get("AugMix", False))
+        xy_ratio = cfg["data"]["sample_rate"] / cfg["data"]["hoplen"] * self.label_res
+        self._np_rng = np.random.RandomState(cfg.get("seed", 2024))
+        self.wave_augs = {
+            "rotate": Rotation(**_kw(aug.get("rotate")), rng=self._np_rng),
+            "wavmix": WavMix(**_kw(aug.get("wavmix")), rng=self._np_rng),
+            "trackmix": TrackMix(**_kw(aug.get("trackmix")), rng=self._np_rng),
+        }
+        self.tf_augs = {
+            "specaug": SpecAugment(xy_ratio=xy_ratio, **_kw(aug.get("specaug"))),
+            "crop": Crop(**_kw(aug.get("crop"))),
+            "freqshift": FreqShift(**_kw(aug.get("freqshift"))),
+        }
+        aug_tf = [a for a in self.aug_type if a in TF_AUG_ORDER]
+        self.aug_tf_comb = []
+        for n in range(1, len(aug_tf) + 1):
+            self.aug_tf_comb += list(itertools.combinations(aug_tf, n))
+
+        self.mesh = mesh or make_mesh(num_devices)
+        self._repl = NamedSharding(self.mesh, P())
+        self._batch_shard = NamedSharding(self.mesh, P("data"))
+        self._train_step_fn = None
+        self._eval_step_fn = None
+        self.tx = None
+
+    # ------------------------------------------------------------------ init
+    def _dummy_batch(self, batch_size: int = 2):
+        data = self.cfg["data"]
+        if self.extractor is not None:
+            n = int(data["train_chunklen_sec"] * data["sample_rate"])
+            c = 4 if data["audio_feature"] == "logmelIV" else 1
+            return jnp.zeros((batch_size, c, n), jnp.float32)
+        # offline features: (C, T, F)
+        from ..models.factory import in_channels_for
+
+        c = in_channels_for(data["audio_feature"])
+        t = int(data["train_chunklen_sec"] / self.label_res
+                * (self.label_res / (data["hoplen"] / data["sample_rate"])))
+        return jnp.zeros((batch_size, c, t, data["n_mels"]), jnp.float32)
+
+    def init_state(self, rng=None, ckpt_path: Optional[str] = None) -> TrainState:
+        rng = rng if rng is not None else jax.random.PRNGKey(self.cfg.get("seed", 0))
+        x = self._dummy_batch()
+        feats = self.extractor(x) if self.extractor is not None else x
+        variables = self.model.init(
+            {"params": rng, "dropout": rng, "patchout": rng}, feats, train=False)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+
+        pretrained = self.meta.get("pretrained_path")
+        if ckpt_path:
+            from .checkpoint import load_seld_inference_ckpt
+
+            variables = {"params": params, "batch_stats": batch_stats}
+            variables, report = load_seld_inference_ckpt(variables, ckpt_path)
+            params, batch_stats = variables["params"], variables.get("batch_stats", {})
+        elif pretrained and _exists(pretrained):
+            variables = {"params": params, "batch_stats": batch_stats}
+            variables, report = load_pretrained(variables, pretrained, self.meta)
+            params, batch_stats = variables["params"], variables.get("batch_stats", {})
+
+        self.tx, self.lr_fn = build_optimizer(self.cfg, params, self.steps_per_epoch)
+        opt_state = self.tx.init(params)
+        state = TrainState(params=params, batch_stats=batch_stats,
+                           opt_state=opt_state, step=jnp.zeros((), jnp.int32))
+        return replicate(self.mesh, state)
+
+    # ----------------------------------------------------------------- steps
+    def _apply_tf_chain(self, key, feats, targets, flags):
+        """Apply TF augs in canonical order gated by traced booleans.
+
+        Deviation from the reference: the random *order* shuffle of the chain
+        (model_module.py:117-118) is replaced by a fixed canonical order with
+        the same random subset — masking augs commute, so only the
+        freqshift-vs-mask ordering differs stochastically.
+        """
+        for i, name in enumerate(TF_AUG_ORDER):
+            if name not in self.aug_type:
+                continue
+            key, sub = jax.random.split(key)
+            aug_x, aug_t = self.tf_augs[name](sub, feats, targets)
+            take = flags[i]
+            feats = jnp.where(take, aug_x, feats)
+            targets = {k: jnp.where(take, aug_t[k], v) if "label" in k else v
+                       for k, v in targets.items()}
+        return feats, targets
+
+    def _forward_features(self, batch_x):
+        if self.extractor is not None:
+            return self.extractor(batch_x)
+        return batch_x
+
+    def _make_train_step(self):
+        def train_step(state: TrainState, batch_x, targets, key, aug_flags):
+            feats = self._forward_features(batch_x)
+            if self.augmix and self.aug_tf_comb:
+                n = feats.shape[0] // 3
+                k1, k2, key = jax.random.split(key, 3)
+                f1, t1 = self._apply_tf_chain(
+                    k1, feats[n:2 * n],
+                    {k: v[n:2 * n] for k, v in targets.items()}, aug_flags[0])
+                f2, t2 = self._apply_tf_chain(
+                    k2, feats[2 * n:],
+                    {k: v[2 * n:] for k, v in targets.items()}, aug_flags[1])
+                feats = jnp.concatenate([feats[:n], f1, f2], axis=0)
+                targets = {k: (jnp.concatenate([v[:n], t1[k], t2[k]], axis=0)
+                               if "label" in k else v)
+                           for k, v in targets.items()}
+            elif self.aug_tf_comb:
+                key, sub = jax.random.split(key)
+                feats, targets = self._apply_tf_chain(sub, feats, targets, aug_flags[0])
+
+            def loss_fn(params):
+                variables = {"params": params}
+                mutable = []
+                if state.batch_stats:
+                    variables["batch_stats"] = state.batch_stats
+                    mutable = ["batch_stats"]
+                out = self.model.apply(
+                    variables, feats, train=True, mutable=mutable,
+                    rngs={"dropout": jax.random.fold_in(key, 1),
+                          "patchout": jax.random.fold_in(key, 2)})
+                preds, new_vars = out if mutable else (out, {})
+                losses = self.loss(preds, targets)
+                return losses[self.loss_type], (losses, new_vars.get("batch_stats",
+                                                                     state.batch_stats))
+
+            (loss_val, (losses, new_bs)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+            new_params = jax.tree_util.tree_map(
+                lambda p, u: (p + u).astype(p.dtype),
+                state.params, updates)
+            new_state = state.replace(params=new_params, batch_stats=new_bs,
+                                      opt_state=new_opt, step=state.step + 1)
+            scalar_losses = {k: (v if isinstance(v, (int, float)) else v.astype(jnp.float32))
+                             for k, v in losses.items()}
+            return new_state, scalar_losses
+
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    def _make_eval_step(self):
+        def eval_step(params, batch_stats, batch_x):
+            feats = self._forward_features(batch_x)
+            variables = {"params": params}
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
+            return self.model.apply(variables, feats, train=False)
+
+        return jax.jit(eval_step)
+
+    # ---------------------------------------------------------------- public
+    def sample_aug_flags(self) -> np.ndarray:
+        """(2, len(TF_AUG_ORDER)) booleans: per-AugMix-copy random subset of the
+        configured TF augs (reference augment_data, model_module.py:115-121)."""
+        flags = np.zeros((2, len(TF_AUG_ORDER)), bool)
+        if not self.aug_tf_comb:
+            return flags
+        for c in range(2):
+            combo = self.aug_tf_comb[self._np_rng.randint(len(self.aug_tf_comb))]
+            for i, name in enumerate(TF_AUG_ORDER):
+                flags[c, i] = name in combo
+        return flags
+
+    def host_augment(self, batch_x: np.ndarray, targets: Dict) -> Tuple:
+        """AugMix triplication + waveform augs, host-side (reference
+        common_step model_module.py:47-57 + data_copy :83-90)."""
+        if self.augmix:
+            batch_x = np.concatenate([batch_x] * 3, axis=0)
+            targets = {k: (np.concatenate([v] * 3, axis=0)
+                           if isinstance(v, np.ndarray) else list(v) * 3)
+                       for k, v in targets.items()}
+        if "rotate" in self.aug_type:
+            batch_x, targets = self.wave_augs["rotate"](batch_x, targets)
+        if "wavmix" in self.aug_type:
+            batch_x, targets = self.wave_augs["wavmix"](batch_x, targets)
+        if "trackmix" in self.aug_type and not self.augmix:
+            batch_x, targets = self.wave_augs["trackmix"](batch_x, targets)
+        return batch_x, targets
+
+    def train_step(self, state, batch: Dict, key):
+        if self._train_step_fn is None:
+            self._train_step_fn = self._make_train_step()
+        batch_x = np.asarray(batch["data"], np.float32)
+        targets = {k: v for k, v in batch.items() if k != "data"}
+        batch_x, targets = self.host_augment(batch_x, targets)
+        label_targets = {k: jnp.asarray(v) for k, v in targets.items()
+                         if isinstance(v, np.ndarray)}
+        batch_x = shard_batch(self.mesh, jnp.asarray(batch_x))
+        label_targets = shard_batch(self.mesh, label_targets)
+        flags = jnp.asarray(self.sample_aug_flags())
+        new_state, losses = self._train_step_fn(state, batch_x, label_targets,
+                                                key, flags)
+        return new_state, losses, targets.get("ov")
+
+    def eval_step(self, state, batch: Dict, post_processing: Optional[str] = None):
+        if self._eval_step_fn is None:
+            self._eval_step_fn = self._make_eval_step()
+        batch_x = jnp.asarray(np.asarray(batch["data"], np.float32))
+        if post_processing == "ACS":
+            return self._acs_forward(state, batch_x)
+        batch_x = shard_batch(self.mesh, batch_x)
+        return self._eval_step_fn(state.params, state.batch_stats, batch_x)
+
+    def _acs_forward(self, state, batch_x):
+        """16-way rotation test-time augmentation (reference
+        components/model_module.py:269-303): 8 sign combos x 2 channel swaps,
+        forward each, de-rotate outputs, average."""
+        if self._eval_step_fn is None:
+            self._eval_step_fn = self._make_eval_step()
+        trans = {(0, 1, 2): (1, 2, 3), (1, 0, 2): (3, 2, 1)}
+        signs = [(1, 1, 1), (-1, 1, 1), (1, -1, 1), (-1, -1, 1),
+                 (1, 1, -1), (-1, 1, -1), (1, -1, -1), (-1, -1, -1)]
+        key = "multi_accdoa" if self.method == "multi_accdoa" else "accdoa"
+        outs = []
+        for sign in signs:
+            for (xx, yy, zz), (s_x, s_y, s_z) in trans.items():
+                sign_x, sign_y, sign_z = sign
+                x = jnp.stack([batch_x[:, 0], sign_y * batch_x[:, s_x],
+                               sign_z * batch_x[:, s_y], sign_x * batch_x[:, s_z]],
+                              axis=1)
+                x = shard_batch(self.mesh, x)
+                y = self._eval_step_fn(state.params, state.batch_stats, x)[key]
+                B, T = y.shape[:2]
+                tracks = 3 if key == "multi_accdoa" else 1
+                y = y.reshape(B, T, tracks, 3, -1) if tracks == 3 \
+                    else y.reshape(B, T, 3, -1)
+                axis = -2
+                comps = [sign_x * jnp.take(y, 0, axis), sign_y * jnp.take(y, 1, axis),
+                         sign_z * jnp.take(y, 2, axis)]
+                y = jnp.stack(comps, axis=axis)
+                y = jnp.stack([jnp.take(y, xx, axis), jnp.take(y, yy, axis),
+                               jnp.take(y, zz, axis)], axis=axis)
+                outs.append(y.reshape(B, T, -1))
+        return {key: jnp.mean(jnp.stack(outs), axis=0)}
+
+
+def _kw(cfg_entry) -> Dict:
+    d = dict(cfg_entry or {})
+    d.pop("_target_", None)
+    return d
+
+
+def _exists(path) -> bool:
+    import os
+
+    return bool(path) and os.path.exists(str(path))

@@ -1,0 +1,54 @@
+#!/usr/bin/env python
+"""Training CLI (reference src/train.py): `python src/train.py experiment=... k=v ...`.
+
+Composes configs/train.yaml with hydra-style overrides, builds the datamodule
+and SELD task, and runs the fit loop on the local device mesh.
+"""
+
+import logging
+import os
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from pseldnets_tpu.config import compose  # noqa: E402
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    cfg = compose(str(REPO / "configs"), "train", argv)
+
+    logging.basicConfig(level=logging.INFO,
+                        format="[%(asctime)s][%(name)s] %(message)s")
+    log = logging.getLogger("pseldnets")
+
+    import numpy as np  # noqa: F401
+    import jax
+
+    seed = int(cfg.get("seed", 2024))
+
+    from pseldnets_tpu.data import SELDDataModule, get_dataset
+    from pseldnets_tpu.train.loop import fit
+    from pseldnets_tpu.train.module import SELDTask
+
+    dataset = get_dataset(list(cfg["data"]["train_dataset"].keys())[0], cfg)
+    datamodule = SELDDataModule(cfg, dataset, stage="fit")
+    log.info("train clips: %d, val clips: %d",
+             len(datamodule.train_set), len(datamodule.val_set))
+
+    devices = cfg.get("trainer", {}).get("devices", 1)
+    num_devices = None if devices in (-1, "auto") else int(devices)
+    task = SELDTask(cfg, dataset, steps_per_epoch=datamodule.steps_per_epoch(),
+                    num_devices=num_devices)
+    state = task.init_state(jax.random.PRNGKey(seed),
+                            ckpt_path=cfg.get("ckpt_path"))
+
+    output_dir = Path(cfg["paths"]["output_dir"])
+    output_dir.mkdir(parents=True, exist_ok=True)
+    fit(task, datamodule, state, cfg, output_dir)
+
+
+if __name__ == "__main__":
+    main()
