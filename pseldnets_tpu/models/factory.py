@@ -41,6 +41,9 @@ def build_model(cfg, num_classes: int, dtype: Any = jnp.float32):
     kwargs = dict(cfg["model"].get("kwargs", {}) or {})
     pretrained_path = kwargs.pop("pretrained_path", None)
     audioset_pretrain = kwargs.pop("audioset_pretrain", True)
+    # 10s-clip contract by default (reference accdoa.py:119); overridable for
+    # small-footprint configs via model.kwargs.tgt_output_frames
+    tgt_output_frames = int(kwargs.pop("tgt_output_frames", 100))
     adapt = AdaptConfig(cfg.get("adapt"))
 
     num_tracks = 3 if method == "multi_accdoa" else 1
@@ -77,6 +80,7 @@ def build_model(cfg, num_classes: int, dtype: Any = jnp.float32):
             model = heads.HTSAT(num_classes=num_classes, in_channels=in_channels,
                                 mel_bins=mel_bins, pred_res=pred_res,
                                 num_tracks=num_tracks, adapt=adapt,
+                                tgt_output_frames=tgt_output_frames,
                                 encoder_kwargs=htsat_encoder_kwargs(), dtype=dtype)
         elif backbone == "PASST":
             model = heads.PASST(num_classes=num_classes, in_channels=in_channels,
@@ -96,12 +100,14 @@ def build_model(cfg, num_classes: int, dtype: Any = jnp.float32):
         elif backbone == "HTSAT":
             model = einv2_heads.HTSAT(num_classes=num_classes, in_channels=in_channels,
                                       mel_bins=mel_bins, pred_res=pred_res, adapt=adapt,
+                                      tgt_output_frames=tgt_output_frames,
                                       encoder_kwargs=htsat_encoder_kwargs(), dtype=dtype)
         elif backbone == "HTSAT_SEDDOA":
             model = einv2_heads.HTSAT_SEDDOA(num_classes=num_classes,
                                              in_channels=in_channels,
                                              mel_bins=mel_bins, pred_res=pred_res,
                                              adapt=adapt,
+                                             tgt_output_frames=tgt_output_frames,
                                              encoder_kwargs=htsat_encoder_kwargs(),
                                              dtype=dtype)
         elif backbone == "PASST":
