@@ -141,13 +141,16 @@ class MeanMeter:
 
 
 def run_validation(task, datamodule, state, metrics: SELDMetrics,
-                   compute_loss: bool = True):
+                   compute_loss: bool = True, limit_batches=None):
     """-> (macro_dict, micro_dict, val_losses). Mirrors validation_step +
-    on_validation_epoch_end."""
+    on_validation_epoch_end. limit_batches truncates the loader (debug mode,
+    reference configs/debug/default.yaml:20)."""
     agg = Aggregator(task.cfg, task.method, task.num_classes, task.label_res)
     val_losses = {k: MeanMeter() for k in task.loss.loss_dict_keys}
     post = task.cfg.get("post_processing")
-    for batch in datamodule.val_dataloader():
+    for bi, batch in enumerate(datamodule.val_dataloader()):
+        if limit_batches is not None and bi >= limit_batches:
+            break
         preds = task.eval_step(state, batch, post_processing=post)
         agg.append(preds)
         if compute_loss:
@@ -166,6 +169,8 @@ def run_validation(task, datamodule, state, metrics: SELDMetrics,
     metrics.reset()
     frame_ind = 0
     for path, loc_frames in datamodule.paths_dict.items():
+        if frame_ind + loc_frames > len(pred_sed):
+            break  # truncated stream under limit_batches
         num_frames = agg.get_num_frames(loc_frames)
         pred_dcase = agg.to_dcase_polar(pred_sed[frame_ind:frame_ind + loc_frames],
                                         pred_doa[frame_ind:frame_ind + loc_frames])
@@ -213,6 +218,13 @@ def fit(task, datamodule, state, cfg, output_dir: Path):
         steps_per_epoch = max(int(steps_per_epoch * float(limit_train))
                               if limit_train <= 1 else int(limit_train), 1)
 
+    from ..utils.utilities import flatten_metrics, instantiate_loggers
+
+    loggers = instantiate_loggers(cfg.get("logger"), output_dir)
+    limit_val = trainer_cfg.get("limit_val_batches")
+    if limit_val is not None:
+        limit_val = int(limit_val)
+
     ckpt_dir = (output_dir / "checkpoints").resolve()
     ckpt_dir.mkdir(parents=True, exist_ok=True)
     checkpointer = ocp.StandardCheckpointer()
@@ -250,7 +262,8 @@ def fit(task, datamodule, state, cfg, output_dir: Path):
         stat = {"ov1": 0, "ov2": 0, "ov3": 0}
 
         if epoch % check_every == 0:
-            macro, micro, val_losses = run_validation(task, datamodule, state, metrics)
+            macro, micro, val_losses = run_validation(task, datamodule, state, metrics,
+                                                      limit_batches=limit_val)
             log_line["val"] = {"macro": macro, "micro": micro, "losses": val_losses}
             log.info("epoch %d val/macro: %s", epoch,
                      {k: round(v, 4) for k, v in macro.items()})
@@ -269,7 +282,11 @@ def fit(task, datamodule, state, cfg, output_dir: Path):
                  {k: round(v, 4) for k, v in log_line["train"].items()}, lr)
         with open(metrics_log, "a") as f:
             f.write(json.dumps(log_line) + "\n")
+        for lg in loggers:
+            lg.log_metrics(flatten_metrics(log_line), epoch)
         if epoch >= max_epochs:
             break
+    for lg in loggers:
+        lg.close()
     checkpointer.wait_until_finished()
     return state

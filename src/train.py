@@ -24,6 +24,11 @@ def main(argv=None):
                         format="[%(asctime)s][%(name)s] %(message)s")
     log = logging.getLogger("pseldnets")
 
+    if cfg.get("extras", {}).get("print_config", False):
+        from pseldnets_tpu.utils.utilities import print_config_tree
+
+        print_config_tree(cfg)
+
     import numpy as np  # noqa: F401
     import jax
 
