@@ -111,11 +111,21 @@ class SELDTask:
 
         pretrained = self.meta.get("pretrained_path")
         if ckpt_path:
-            from .checkpoint import load_seld_inference_ckpt
+            import os
 
-            variables = {"params": params, "batch_stats": batch_stats}
-            variables, report = load_seld_inference_ckpt(variables, ckpt_path)
-            params, batch_stats = variables["params"], variables.get("batch_stats", {})
+            if os.path.isdir(str(ckpt_path)):  # our own orbax checkpoint
+                import orbax.checkpoint as ocp
+
+                restored = ocp.StandardCheckpointer().restore(
+                    os.path.abspath(str(ckpt_path)),
+                    jax.device_get({"params": params, "batch_stats": batch_stats}))
+                params, batch_stats = restored["params"], restored.get("batch_stats", {})
+            else:  # torch checkpoint (reference-format .ckpt/.pth)
+                from .checkpoint import load_seld_inference_ckpt
+
+                variables = {"params": params, "batch_stats": batch_stats}
+                variables, report = load_seld_inference_ckpt(variables, ckpt_path)
+                params, batch_stats = variables["params"], variables.get("batch_stats", {})
         elif pretrained and _exists(pretrained):
             variables = {"params": params, "batch_stats": batch_stats}
             variables, report = load_pretrained(variables, pretrained, self.meta)

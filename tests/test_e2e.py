@@ -116,6 +116,13 @@ def test_train_and_infer_e2e(preprocessed, method_override, exp_key):
     assert 0 <= macro["SELD_scr"] <= 1.5
     assert macro["LE"] <= 180.0
 
+    # inference from the saved orbax checkpoint must load and score
+    last = run_dir / "checkpoints" / "last"
+    assert last.is_dir()
+    macro2 = infer_cli.main(_overrides(corpus, work, [
+        method_override, "mode=valid", "seed=3", f"ckpt_path={last}"]))
+    assert np.isfinite(macro2["SELD_scr"])
+
 
 def test_infer_test_mode_writes_submissions(preprocessed):
     corpus, work = preprocessed
