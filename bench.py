@@ -37,7 +37,7 @@ def main():
     model, _ = build_model(cfg, num_classes, dtype=jnp.bfloat16)
     extractor = make_extractor(cfg)
 
-    B = 32  # 10-second clips per batch
+    B = 16  # 10-second clips per batch
     rng = jax.random.PRNGKey(0)
     wav = jax.random.normal(rng, (B, 4, 240000), jnp.float32) * 0.1
     feats = extractor(wav[:2])

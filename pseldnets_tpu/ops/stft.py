@@ -70,14 +70,28 @@ def stft(x: jnp.ndarray, n_fft: int, hop: int, window: str = "hann", center: boo
 
 @partial(jax.jit, static_argnames=("n_fft", "hop", "window", "center"))
 def stft_dft(x: jnp.ndarray, n_fft: int, hop: int, window: str = "hann", center: bool = True):
-    """Matmul-DFT STFT (MXU path). Same contract as ``stft``."""
+    """Windowed-DFT STFT as one strided convolution (MXU path).
+
+    The framing is folded into the conv's stride so no (..., n_frames, n_fft)
+    intermediate is ever materialized — XLA lowers the conv as an
+    implicit-GEMM on the systolic array. Same contract as ``stft``.
+    """
     win = get_window(window, n_fft)
-    wcos, wsin = dft_matrices(n_fft, win)
-    wcos = jnp.asarray(wcos, dtype=x.dtype)
-    wsin = jnp.asarray(wsin, dtype=x.dtype)
-    frames = frame_signal(x, n_fft, hop, center)
-    real = jnp.einsum("...tn,nf->...tf", frames, wcos, precision=jax.lax.Precision.HIGHEST,
-                        preferred_element_type=jnp.float32)
-    imag = jnp.einsum("...tn,nf->...tf", frames, wsin, precision=jax.lax.Precision.HIGHEST,
-                        preferred_element_type=jnp.float32)
+    wcos, wsin = dft_matrices(n_fft, win)  # (n_fft, n_freqs)
+    n_freqs = n_fft // 2 + 1
+    kernel = np.concatenate([wcos, wsin], axis=1)  # (n_fft, 2*n_freqs)
+    kernel = jnp.asarray(kernel.T[:, None, :], dtype=jnp.float32)  # OIW
+
+    lead = x.shape[:-1]
+    if center:
+        x = _reflect_pad_last(x, n_fft // 2)
+    sig = x.reshape(-1, 1, x.shape[-1]).astype(jnp.float32)  # NCW
+    out = jax.lax.conv_general_dilated(
+        sig, kernel, window_strides=(hop,), padding="VALID",
+        dimension_numbers=("NCW", "OIW", "NCW"),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)  # (N, 2*n_freqs, n_frames)
+    out = jnp.swapaxes(out, 1, 2)  # (N, n_frames, 2*n_freqs)
+    out = out.reshape(lead + out.shape[1:])
+    real, imag = out[..., :n_freqs], out[..., n_freqs:]
     return real.astype(x.dtype), imag.astype(x.dtype)
