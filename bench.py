@@ -20,6 +20,13 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
+import os as _os
+
+_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                       str(Path(__file__).resolve().parent / ".jax_cache"))
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
+
+
 TARGET_CLIPS_PER_SEC = 300.0  # 5 x estimated A100 torch-reference rate
 
 
