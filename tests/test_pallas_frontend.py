@@ -1,0 +1,31 @@
+"""Fused Pallas logmel+IV kernel: interpret-mode parity with the reference
+feature chain (the compiled kernel is exercised on real TPU by
+scripts/pallas_frontend_tpu.py)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from pseldnets_tpu.ops import LogmelIVExtractor
+from pseldnets_tpu.ops.pallas.frontend import fused_logmel_iv
+
+CFG = {"data": {"sample_rate": 24000, "nfft": 1024, "n_mels": 64,
+                "hoplen": 240, "window": "hann"}}
+
+
+def test_fused_frontend_interpret_parity(rng):
+    x = rng.standard_normal((2, 4, 24000)).astype(np.float32) * 0.2
+    ref = np.asarray(LogmelIVExtractor(CFG)(jnp.asarray(x)))
+    got = np.asarray(fused_logmel_iv(jnp.asarray(x), t_blk=32, interpret=True))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got[:, :4], ref[:, :4], atol=5e-4)  # logmel (dB)
+    np.testing.assert_allclose(got[:, 4:], ref[:, 4:], atol=1e-5)  # IV
+
+
+def test_fused_frontend_nondivisible_frames(rng):
+    # 10 s @ 24 kHz -> 1001 frames, not a multiple of t_blk: tail must be
+    # computed on zero-padding and cropped
+    x = rng.standard_normal((1, 4, 240000)).astype(np.float32) * 0.1
+    ref = np.asarray(LogmelIVExtractor(CFG)(jnp.asarray(x)))
+    got = np.asarray(fused_logmel_iv(jnp.asarray(x), t_blk=128, interpret=True))
+    assert got.shape == (1, 7, 1001, 64)
+    np.testing.assert_allclose(got, ref, atol=5e-4)
