@@ -89,6 +89,8 @@ def preprocessed(corpus, tmp_path_factory):
 
 @pytest.mark.parametrize("method_override,exp_key", [
     ("loss=multi_accdoa", "multi_accdoa"),
+    ("loss=accdoa", "accdoa"),
+    ("loss=einv2_pit", "einv2"),
 ])
 def test_train_and_infer_e2e(preprocessed, method_override, exp_key):
     corpus, work = preprocessed
@@ -122,6 +124,30 @@ def test_train_and_infer_e2e(preprocessed, method_override, exp_key):
     macro2 = infer_cli.main(_overrides(corpus, work, [
         method_override, "mode=valid", "seed=3", f"ckpt_path={last}"]))
     assert np.isfinite(macro2["SELD_scr"])
+
+
+def test_infer_acs_tta(preprocessed):
+    """16-way rotation test-time augmentation path (post_processing=ACS)."""
+    corpus, work = preprocessed
+    import infer as infer_cli
+
+    macro = infer_cli.main(_overrides(corpus, work, [
+        "loss=multi_accdoa", "mode=valid", "post_processing=ACS"]))
+    assert np.isfinite(macro["SELD_scr"])
+
+
+def test_infer_move_avg(preprocessed):
+    """Overlapped-chunk moving-average stitching (test_hoplen < chunklen)."""
+    corpus, work = preprocessed
+    import preproc as preproc_cli
+    import infer as infer_cli
+
+    extra = ["data.test_hoplen_sec=2"]
+    preproc_cli.main(_overrides(corpus, work, ["dataset=test2_ov1",
+                                               "wav_format=.flac"] + extra))
+    macro = infer_cli.main(_overrides(corpus, work, [
+        "loss=multi_accdoa", "mode=valid", "post_processing=move_avg"] + extra))
+    assert np.isfinite(macro["SELD_scr"])
 
 
 def test_infer_test_mode_writes_submissions(preprocessed):
