@@ -103,8 +103,9 @@ def test_train_and_infer_e2e(preprocessed, method_override, exp_key):
     ])
     train_cli.main(overrides)
 
-    # find the run dir with metrics + checkpoints
-    runs = sorted((work / "logs").glob("**/runs/*"))
+    # find this method's run dir (task_name = <method>_<backbone>)
+    method = method_override.split("=")[1].replace("einv2_pit", "einv2")
+    runs = sorted((work / "logs").glob(f"{method}_*/runs/*"))
     assert runs, "no run dir created"
     run_dir = runs[-1]
     lines = [json.loads(l) for l in open(run_dir / "metrics.jsonl")]
