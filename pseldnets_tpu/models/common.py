@@ -236,14 +236,32 @@ class CrossStitch(nn.Module):
 # ---------------------------------------------------------------------------
 # Time-axis upsampling (reference utils.py:25-52)
 # ---------------------------------------------------------------------------
+def _linear_upsample_matrix(t_in: int, ratio: int) -> np.ndarray:
+    """(t_in*ratio, t_in) interpolation matrix with half-pixel centers —
+    identical to torch F.interpolate(mode='bilinear', align_corners=False)
+    along time. A fixed matmul instead of jax.image.resize: the latter's
+    scale_and_translate lowering blows XLA compile time up by minutes."""
+    t_out = t_in * ratio
+    src = (np.arange(t_out) + 0.5) / ratio - 0.5
+    i0 = np.clip(np.floor(src).astype(int), 0, t_in - 1)
+    i1 = np.clip(i0 + 1, 0, t_in - 1)
+    w1 = np.clip(src - np.floor(src), 0.0, 1.0)
+    w1 = np.where(src < 0, 0.0, w1)  # edge clamp at the left boundary
+    m = np.zeros((t_out, t_in), np.float32)
+    m[np.arange(t_out), i0] += 1.0 - w1
+    m[np.arange(t_out), i1] += w1
+    return m
+
+
 def interpolate(x: jnp.ndarray, ratio: int, method: str = "repeat") -> jnp.ndarray:
     """(B, T, ...) -> (B, T*ratio, ...). 'repeat' duplicates frames; 'bilinear'
     is a linear resize along time with half-pixel centers (torch
     F.interpolate(mode='bilinear', align_corners=False) on the (T, C) plane)."""
     if method == "repeat":
         return jnp.repeat(x, ratio, axis=1)
-    target = (x.shape[0], x.shape[1] * ratio) + x.shape[2:]
-    return jax.image.resize(x, target, method="linear")
+    m = jnp.asarray(_linear_upsample_matrix(x.shape[1], ratio), dtype=x.dtype)
+    return jnp.einsum("st,bt...->bs...", m, x,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 # ---------------------------------------------------------------------------
