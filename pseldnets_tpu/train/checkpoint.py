@@ -131,8 +131,11 @@ def _to_flax_value(torch_key: str, val: np.ndarray, flax_path: Tuple[str, ...],
                 v = v.transpose(2, 1, 0)
         elif v.ndim == 4:
             v = v.transpose(2, 3, 1, 0)
-    elif leaf in ("lora_A", "lora_B") and v.ndim == 2 and v.shape != tuple(target_shape):
-        v = v.T
+    elif leaf in ("lora_A", "lora_B"):
+        if v.ndim == 2 and v.shape != tuple(target_shape):
+            v = v.T  # dense LoRA: torch (r,in)/(out,r) -> flax (in,r)/(r,out)
+        elif v.ndim == 4:
+            v = v.transpose(2, 3, 1, 0)  # conv LoRA sub-conv kernels
     if v.shape != tuple(target_shape):
         raise ValueError(
             f"shape mismatch for {torch_key} -> {'/'.join(flax_path)}: "
@@ -223,9 +226,14 @@ def convert_state_dict(torch_sd: Dict[str, np.ndarray], variables,
             out[path] = init_val
             continue
         if tkey not in torch_sd:
-            missing.append(tkey)
-            out[path] = init_val
-            continue
+            # conv LoRA: the reference packs lora_A/lora_B as nn.Conv2d
+            # submodules, so the torch key carries a '.weight' suffix
+            if rest_t[-1] in ("lora_A", "lora_B") and (tkey + ".weight") in torch_sd:
+                tkey = tkey + ".weight"
+            else:
+                missing.append(tkey)
+                out[path] = init_val
+                continue
         out[path] = _to_flax_value(tkey, torch_sd[tkey], rest_t, tuple(init_val.shape))
         used.add(tkey)
 
