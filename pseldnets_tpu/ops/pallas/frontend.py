@@ -1,21 +1,21 @@
 """Fused logmel+IV frontend as a single Pallas TPU kernel.
 
-One kernel fuses the whole feature chain the reference spreads over
-torchaudio ops (reference src/utils/feature.py:20-56):
+One kernel fuses the feature chain the reference spreads over torchaudio ops
+(reference src/utils/feature.py:20-56):
 
-    framing -> window ⊙ DFT (MXU matmul) -> power -> mel (MXU) -> dB
-            -> FOA intensity vector -> L2-normalize -> mel (MXU)
+    window ⊙ DFT (MXU matmul) -> power -> mel (MXU) -> dB
+    -> FOA intensity vector -> L2-normalize -> mel (MXU)
 
-Why a kernel: XLA already fuses the elementwise stages, but it materializes
-the (B, 4, T, 513) real+imag spectra in HBM between the DFT and the mel/IV
-stages (~16 MB per 10 s clip). Here each (batch, time-block) grid cell keeps
-its spectra block in VMEM scratch and writes only the final (7, T_BLK, 64)
-features — HBM spectra traffic disappears.
+Framing happens outside as static row-shift slices (ops.stft.frame_signal —
+gather-free, bandwidth-speed). The kernel's win over the XLA pipeline is that
+the (4, T, 513) real+imag spectra and power never round-trip HBM: each
+(batch, time-block) grid cell keeps them in VMEM scratch and writes only the
+final (7, T_BLK, 64) features. The DFT matmul runs at full f32 fidelity
+(Precision.HIGHEST) but stays compute-bound in VMEM.
 
-Grid: (B, T_pad / T_BLK). The signal is pre-cut into per-block slabs
-((T_BLK-1)·hop + n_fft samples; ~2.6% duplication at the production config)
-so BlockSpecs stay non-overlapping. Per-cell VMEM: slab (4, 31504) 0.5 MB +
-frames (128, 1024) 0.5 MB + DFT matrix 4.2 MB + spectra scratch 2.1 MB ≈ 7 MB.
+Per-cell VMEM at the production config (n_fft=1024, hop=240, T_BLK=128):
+frames (4, 128, 1024) 2 MB + DFT matrix (1024, 1026) 4.2 MB + spectra scratch
+(8, 128, 513) 2.1 MB + outputs ≈ 8.5 MB.
 """
 
 from functools import partial
@@ -25,23 +25,15 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..mel import mel_filterbank
-from ..stft import dft_matrices
+from ..stft import dft_matrices, frame_signal
 from ..windows import get_window
 
 EPS_F32 = float(np.finfo(np.float32).eps)
 
 
-def _kernel(x_ref, dft_ref, mel_ref, out_ref, frames, spectra, *, n_fft, hop,
-            t_blk, n_freqs, n_mels, n_ch):
-    from jax.experimental import pallas as pl
-
+def _kernel(frames_ref, dft_ref, mel_ref, out_ref, spectra, *, n_freqs, n_ch):
     def per_channel(c, carry):
-        def fill(i, _):
-            frames[i, :] = x_ref[0, 0, c, pl.dslice(i * hop, n_fft)]
-            return _
-
-        jax.lax.fori_loop(0, t_blk, fill, 0)
-        spec = jnp.dot(frames[:, :], dft_ref[:, :],
+        spec = jnp.dot(frames_ref[0, 0, c], dft_ref[:, :],
                        precision=jax.lax.Precision.HIGHEST,
                        preferred_element_type=jnp.float32)
         spectra[c, :, :] = spec[:, :n_freqs]          # real
@@ -60,8 +52,7 @@ def _kernel(x_ref, dft_ref, mel_ref, out_ref, frames, spectra, *, n_fft, hop,
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)
 
-    logmel = 10.0 * jnp.log10(jnp.maximum(mel_of(power), 1e-10))
-    out_ref[0, 0:n_ch, :, :] = logmel
+    out_ref[0, 0:n_ch, :, :] = 10.0 * jnp.log10(jnp.maximum(mel_of(power), 1e-10))
 
     # FOA intensity vector (W conj-cross with X/Y/Z), L2-normalized per TF bin
     w_re, w_im = re[0], im[0]
@@ -85,32 +76,25 @@ def fused_logmel_iv(x: jnp.ndarray, *, n_fft: int = 1024, hop: int = 240,
     assert C == 4, "FOA input required"
     n_freqs = n_fft // 2 + 1
     n_frames = 1 + N // hop  # torch center=True frame count
-
-    x = jnp.pad(x, ((0, 0), (0, 0), (n_fft // 2, n_fft // 2)), mode="reflect")
     t_pad = -(-n_frames // t_blk) * t_blk
     n_blocks = t_pad // t_blk
-    slab = (t_blk - 1) * hop + n_fft
-    need = (t_pad - 1) * hop + n_fft
-    x = jnp.pad(x, ((0, 0), (0, 0), (0, max(0, need - x.shape[-1]))))
 
-    # pre-cut per-block slabs (non-overlapping BlockSpecs; ~2.6% duplication)
-    starts = np.arange(n_blocks) * t_blk * hop
-    idx = starts[:, None] + np.arange(slab)[None, :]
-    x_blocks = jnp.transpose(x[:, :, idx], (0, 2, 1, 3))  # (B, n_blocks, C, slab)
+    frames = frame_signal(x, n_fft, hop, center=True)  # (B, C, n_frames, n_fft)
+    frames = jnp.pad(frames, ((0, 0), (0, 0), (0, t_pad - n_frames), (0, 0)))
+    frames = jnp.swapaxes(frames, 1, 2).reshape(B, n_blocks, t_blk, C, n_fft)
+    frames = jnp.swapaxes(frames, 2, 3)  # (B, n_blocks, C, t_blk, n_fft)
 
-    win = get_window(window, n_fft)
-    wcos, wsin = dft_matrices(n_fft, win)
+    wcos, wsin = dft_matrices(n_fft, get_window(window, n_fft))
     dft = jnp.asarray(np.concatenate([wcos, wsin], axis=1), jnp.float32)
     mel = jnp.asarray(mel_filterbank(sample_rate, n_fft, n_mels, fmin=20.0,
                                      fmax=sample_rate / 2.0, scale="htk",
                                      norm="slaney"), jnp.float32)
 
     out = pl.pallas_call(
-        partial(_kernel, n_fft=n_fft, hop=hop, t_blk=t_blk, n_freqs=n_freqs,
-                n_mels=n_mels, n_ch=C),
+        partial(_kernel, n_freqs=n_freqs, n_ch=C),
         grid=(B, n_blocks),
         in_specs=[
-            pl.BlockSpec((1, 1, C, slab), lambda b, t: (b, t, 0, 0),
+            pl.BlockSpec((1, 1, C, t_blk, n_fft), lambda b, t: (b, t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n_fft, 2 * n_freqs), lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -121,9 +105,8 @@ def fused_logmel_iv(x: jnp.ndarray, *, n_fft: int = 1024, hop: int = 240,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, 7, t_pad, n_mels), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((t_blk, n_fft), jnp.float32),
             pltpu.VMEM((2 * C, t_blk, n_freqs), jnp.float32),
         ],
         interpret=interpret,
-    )(x_blocks, dft, mel)
+    )(frames, dft, mel)
     return out[:, :, :n_frames, :]

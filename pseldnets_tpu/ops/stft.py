@@ -33,15 +33,29 @@ def _reflect_pad_last(x: jnp.ndarray, pad: int) -> jnp.ndarray:
 
 
 def frame_signal(x: jnp.ndarray, n_fft: int, hop: int, center: bool = True) -> jnp.ndarray:
-    """(..., samples) -> (..., n_frames, n_fft) with torch-style centering."""
+    """(..., samples) -> (..., n_frames, n_fft) with torch-style centering.
+
+    Gather-free formulation: reshape the signal into hop-length rows and build
+    each frame from ceil(n_fft/hop) static row-shifted slices — pure slicing
+    and concatenation, which XLA and Mosaic both handle at full bandwidth
+    (a row gather would serialize; unaligned vector loads are rejected by the
+    TPU Mosaic compiler outright).
+    """
     if center:
         x = _reflect_pad_last(x, n_fft // 2)
     n = x.shape[-1]
     n_frames = 1 + (n - n_fft) // hop
-    # gather frame starts; XLA turns this into an efficient dynamic-slice loop and
-    # the Pallas frontend replaces it with VMEM-resident overlapping loads.
-    idx = np.arange(n_frames)[:, None] * hop + np.arange(n_fft)[None, :]
-    return x[..., idx]
+    k_full = n_fft // hop
+    rem = n_fft % hop
+    rows_needed = n_frames + k_full  # last frame touches rows [n_frames-1, .. +k_full]
+    pad = rows_needed * hop - n
+    if pad > 0:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+    rows = x[..., : rows_needed * hop].reshape(x.shape[:-1] + (rows_needed, hop))
+    parts = [rows[..., j: j + n_frames, :] for j in range(k_full)]
+    if rem:
+        parts.append(rows[..., k_full: k_full + n_frames, :rem])
+    return jnp.concatenate(parts, axis=-1)
 
 
 def dft_matrices(n_fft: int, window: np.ndarray, dtype=np.float32):
