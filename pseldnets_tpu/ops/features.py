@@ -66,27 +66,42 @@ def intensity_vector(real: jnp.ndarray, imag: jnp.ndarray, mel_fb: jnp.ndarray) 
 
 
 class LogmelIVExtractor:
-    """logmel(4ch) ⊕ intensity-vector(3ch) frontend for FOA input."""
+    """logmel(4ch) ⊕ intensity-vector(3ch) frontend for FOA input.
+
+    backend='pallas' routes through the fused VMEM-resident kernel
+    (ops.pallas.frontend), ~2x the XLA pipeline on v5e; 'xla' keeps the
+    conv-DFT + matmul pipeline; 'auto' picks pallas on TPU.
+    """
 
     in_channels = 7
 
-    def __init__(self, cfg, use_fft: bool = False):
+    def __init__(self, cfg, use_fft: bool = False, backend: str = "auto"):
         data = cfg["data"]
         self.n_fft = int(data["nfft"])
         self.hop = int(data["hoplen"])
         self.window = str(data["window"])
-        sr = int(data["sample_rate"])
+        self.sr = int(data["sample_rate"])
+        self.n_mels = int(data["n_mels"])
         self.mel_fb = jnp.asarray(
-            mel_filterbank(sr, self.n_fft, int(data["n_mels"]), fmin=20.0,
-                           fmax=sr / 2.0, scale="htk", norm="slaney"),
+            mel_filterbank(self.sr, self.n_fft, self.n_mels, fmin=20.0,
+                           fmax=self.sr / 2.0, scale="htk", norm="slaney"),
             dtype=jnp.float32,
         )
         self._stft = stft if use_fft else stft_dft
+        if backend == "auto":
+            backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        self.backend = backend
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         """(B, 4, samples) -> (B, 7, n_frames, n_mels)."""
         if x.ndim != 3:
             raise ValueError(f"expected (batch, channels, samples), got {x.shape}")
+        if self.backend == "pallas" and x.shape[1] == 4:
+            from .pallas.frontend import fused_logmel_iv
+
+            return fused_logmel_iv(x, n_fft=self.n_fft, hop=self.hop,
+                                   window=self.window, n_mels=self.n_mels,
+                                   sample_rate=self.sr)
         real, imag = self._stft(x, self.n_fft, self.hop, self.window)  # (B,4,T,F)
         power = real * real + imag * imag
         logmel = power_to_db(_mel_project(power, self.mel_fb))
@@ -180,8 +195,9 @@ def make_extractor(cfg, use_fft: bool = False):
     logmelIV / logmel run on device; anything else (salsalite, logmelgcc) is
     consumed pre-extracted from the offline pipeline → None here."""
     feat = cfg["data"]["audio_feature"]
+    backend = cfg["data"].get("frontend", "auto")
     if feat == "logmelIV":
-        return LogmelIVExtractor(cfg, use_fft=use_fft)
+        return LogmelIVExtractor(cfg, use_fft=use_fft, backend=backend)
     if feat == "logmel":
         return LogmelExtractor(cfg, use_fft=use_fft)
     return None

@@ -31,10 +31,11 @@ from ..windows import get_window
 EPS_F32 = float(np.finfo(np.float32).eps)
 
 
-def _kernel(frames_ref, dft_ref, mel_ref, out_ref, spectra, *, n_freqs, n_ch):
+def _kernel(frames_ref, dft_ref, mel_ref, out_ref, spectra, *, n_freqs, n_ch,
+            precision):
     def per_channel(c, carry):
         spec = jnp.dot(frames_ref[0, 0, c], dft_ref[:, :],
-                       precision=jax.lax.Precision.HIGHEST,
+                       precision=precision,
                        preferred_element_type=jnp.float32)
         spectra[c, :, :] = spec[:, :n_freqs]          # real
         spectra[n_ch + c, :, :] = spec[:, n_freqs:]   # imag
@@ -49,7 +50,7 @@ def _kernel(frames_ref, dft_ref, mel_ref, out_ref, spectra, *, n_freqs, n_ch):
     def mel_of(v):
         return jax.lax.dot_general(
             v, mel_ref[:, :], dimension_numbers=(((2,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=precision,
             preferred_element_type=jnp.float32)
 
     out_ref[0, 0:n_ch, :, :] = 10.0 * jnp.log10(jnp.maximum(mel_of(power), 1e-10))
@@ -62,11 +63,13 @@ def _kernel(frames_ref, dft_ref, mel_ref, out_ref, spectra, *, n_freqs, n_ch):
 
 
 @partial(jax.jit, static_argnames=("n_fft", "hop", "window", "n_mels",
-                                   "sample_rate", "t_blk", "interpret"))
+                                   "sample_rate", "t_blk", "interpret",
+                                   "precision"))
 def fused_logmel_iv(x: jnp.ndarray, *, n_fft: int = 1024, hop: int = 240,
                     window: str = "hann", n_mels: int = 64,
                     sample_rate: int = 24000, t_blk: int = 128,
-                    interpret: bool = False) -> jnp.ndarray:
+                    interpret: bool = False,
+                    precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
     """(B, 4, samples) float32 -> (B, 7, n_frames, n_mels); numerical parity
     with ops.features.LogmelIVExtractor (and the reference torchaudio chain)."""
     from jax.experimental import pallas as pl
@@ -91,7 +94,7 @@ def fused_logmel_iv(x: jnp.ndarray, *, n_fft: int = 1024, hop: int = 240,
                                      norm="slaney"), jnp.float32)
 
     out = pl.pallas_call(
-        partial(_kernel, n_freqs=n_freqs, n_ch=C),
+        partial(_kernel, n_freqs=n_freqs, n_ch=C, precision=precision),
         grid=(B, n_blocks),
         in_specs=[
             pl.BlockSpec((1, 1, C, t_blk, n_fft), lambda b, t: (b, t, 0, 0, 0),
