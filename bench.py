@@ -44,35 +44,38 @@ def main():
     model, _ = build_model(cfg, num_classes, dtype=jnp.bfloat16)
     extractor = make_extractor(cfg)
 
+    # Methodology: vary inputs per iteration and fetch a scalar from each
+    # output — the remote-execution relay dedupes identical dispatches and
+    # async laziness would otherwise hide work.
     B = 16  # 10-second clips per batch
     rng = jax.random.PRNGKey(0)
-    wav = jax.random.normal(rng, (B, 4, 240000), jnp.float32) * 0.1
-    feats = extractor(wav[:2])
+    feats = extractor(jnp.zeros((2, 4, 240000), jnp.float32))
     variables = model.init({"params": rng}, feats, train=False)
 
     @jax.jit
     def step(variables, wav):
         return model.apply(variables, extractor(wav), train=False)
 
-    out = step(variables, wav)
-    jax.block_until_ready(out)
+    def mk(i):
+        return jax.random.normal(jax.random.PRNGKey(i), (B, 4, 240000),
+                                 jnp.float32) * 0.1
 
-    # warm
-    for _ in range(2):
-        out = step(variables, wav)
-    jax.block_until_ready(out)
+    out = step(variables, mk(0))
+    _ = float(out["multi_accdoa"].ravel()[0])  # force compile + materialize
 
-    iters = 10
+    iters = 8
+    xs = [mk(i + 1) for i in range(iters)]
+    for x in xs:
+        jax.block_until_ready(x)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = step(variables, wav)
-    jax.block_until_ready(out)
+    for x in xs:
+        out = step(variables, x)
+        _ = float(out["multi_accdoa"].ravel()[0])
     dt = (time.perf_counter() - t0) / iters
 
-    clips_10s_per_sec = B / dt
-    one_min_clips_per_sec = clips_10s_per_sec / 6.0
+    one_min_clips_per_sec = (B / dt) / 6.0
     print(json.dumps({
-        "metric": "1min_FOA_clips/sec/chip (preproc+HTSAT mACCDOA fwd, bf16)",
+        "metric": "1min_FOA_clips/sec/chip (pallas frontend + HTSAT mACCDOA fwd, bf16)",
         "value": round(one_min_clips_per_sec, 3),
         "unit": "clips/s",
         "vs_baseline": round(one_min_clips_per_sec / TARGET_CLIPS_PER_SEC, 4),
