@@ -38,17 +38,16 @@ def power_to_db(power: jnp.ndarray, top_db: Optional[float] = None) -> jnp.ndarr
 
 
 def _mel_project(x: jnp.ndarray, mel_fb: jnp.ndarray) -> jnp.ndarray:
-    """(..., F) @ (F, M) as one flat 2D matmul.
+    """(..., F) @ (F, M) mel projection.
 
-    A batched einsum ("bctf,fm->bctm") makes XLA:TPU pick a layout that runs
-    ~200x below peak for this shape (measured 24 ms vs 0.1 ms at B=16); the
-    explicit collapse to (N, F) @ (F, M) restores MXU throughput.
+    Kept as a plain einsum: collapsing to a flat 2D dot runs at the same speed
+    on v5e but blows the XLA compile up to ~4 minutes inside the composite
+    frontend graph. The TPU production path is the fused Pallas kernel anyway
+    (LogmelIVExtractor backend='pallas'); this is the CPU/fallback path.
     """
-    lead = x.shape[:-1]
-    flat = x.reshape(-1, x.shape[-1])
-    out = jnp.dot(flat, mel_fb, precision=jax.lax.Precision.HIGHEST,
-                  preferred_element_type=jnp.float32)
-    return out.reshape(lead + (mel_fb.shape[1],))
+    return jnp.einsum("...tf,fm->...tm", x, mel_fb,
+                      precision=jax.lax.Precision.HIGHEST,
+                      preferred_element_type=jnp.float32)
 
 
 def intensity_vector(real: jnp.ndarray, imag: jnp.ndarray, mel_fb: jnp.ndarray) -> jnp.ndarray:
