@@ -50,7 +50,9 @@ def main():
     B = 16  # 10-second clips per batch
     rng = jax.random.PRNGKey(0)
     feats = extractor(jnp.zeros((2, 4, 240000), jnp.float32))
-    variables = model.init({"params": rng}, feats, train=False)
+    # jit the init: eager flax init dispatches thousands of individual ops,
+    # which is pathologically slow over the remote-execution relay
+    variables = jax.jit(lambda r, f: model.init({"params": r}, f, train=False))(rng, feats)
 
     @jax.jit
     def step(variables, wav):

@@ -104,8 +104,10 @@ class SELDTask:
         rng = rng if rng is not None else jax.random.PRNGKey(self.cfg.get("seed", 0))
         x = self._dummy_batch()
         feats = self.extractor(x) if self.extractor is not None else x
-        variables = self.model.init(
-            {"params": rng, "dropout": rng, "patchout": rng}, feats, train=False)
+        # jit the init: eager flax init dispatches each op individually, which
+        # is pathologically slow over remote-execution TPU relays
+        variables = jax.jit(lambda r, f: self.model.init(
+            {"params": r, "dropout": r, "patchout": r}, f, train=False))(rng, feats)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
 
