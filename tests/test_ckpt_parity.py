@@ -188,3 +188,42 @@ def test_einv2_htsat_parity(rng):
     ref_out, out = _convert_and_run(tm, fm, x)
     np.testing.assert_allclose(np.asarray(out["sed"]), ref_out["sed"].numpy(), atol=2e-4)
     np.testing.assert_allclose(np.asarray(out["doa"]), ref_out["doa"].numpy(), atol=2e-4)
+
+
+def test_einv2_seddoa_parity(rng):
+    from models import einv2 as ref_einv2
+
+    cfg = _tiny_cfg()
+    K = 3
+    tm = ref_einv2.HTSAT_SEDDOA(cfg, K, in_channels=7, pretrained_path=None,
+                                **TINY_KW)
+    tm.tgt_output_frames = 25
+    fm = einv2_heads.HTSAT_SEDDOA(num_classes=K, in_channels=7, mel_bins=16,
+                                  pred_res=10, tgt_output_frames=25,
+                                  encoder_kwargs=TINY_KW_FLAX)
+    x = rng.standard_normal((2, 7, 250, 16)).astype(np.float32)
+    ref_out, out = _convert_and_run(tm, fm, x)
+    np.testing.assert_allclose(np.asarray(out["sed"]), ref_out["sed"].numpy(), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out["doa"]), ref_out["doa"].numpy(), atol=2e-4)
+
+
+def test_einv2_passt_parity(rng):
+    from models import einv2 as ref_einv2
+    from pseldnets_tpu.config import Config
+
+    cfg = Config.wrap({
+        "data": {"n_mels": 16, "sample_rate": 24000, "hoplen": 240,
+                 "audio_feature": "logmelIV"},
+        "model": {"decoder": None, "num_decoder_layers": 1, "ps_gap": 2},
+        "adapt": {"method": "none"},
+    })
+    K = 3
+    tm = ref_einv2.PASST(cfg, K, in_channels=7, pretrained_path=None, **PASST_KW)
+    fm = einv2_heads.PASST(num_classes=K, in_channels=7, mel_bins=16,
+                           ps_gap=2, decoder=None,
+                           encoder_kwargs=tuple(sorted(
+                               {**PASST_KW, "img_size": (16, 101)}.items())))
+    x = rng.standard_normal((2, 7, 101, 16)).astype(np.float32)
+    ref_out, out = _convert_and_run(tm, fm, x)
+    np.testing.assert_allclose(np.asarray(out["sed"]), ref_out["sed"].numpy(), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out["doa"]), ref_out["doa"].numpy(), atol=2e-4)
