@@ -32,11 +32,23 @@ EPS_F32 = float(np.finfo(np.float32).eps)
 
 
 def _kernel(frames_ref, dft_ref, mel_ref, out_ref, spectra, *, n_freqs, n_ch,
-            precision):
+            precision, split3):
     def per_channel(c, carry):
-        spec = jnp.dot(frames_ref[0, 0, c], dft_ref[:, :],
-                       precision=precision,
-                       preferred_element_type=jnp.float32)
+        f = frames_ref[0, 0, c]
+        if split3:
+            # hand-rolled bf16_3x (Mosaic has no Precision.HIGH): x=hi+lo,
+            # M=Mhi+Mlo; x@M ≈ hi@Mhi + hi@Mlo + lo@Mhi (f32-accurate, 3 of
+            # the 6 HIGHEST passes)
+            m_hi = dft_ref[:, :].astype(jnp.bfloat16)
+            m_lo = (dft_ref[:, :] - m_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            f_hi = f.astype(jnp.bfloat16)
+            f_lo = (f - f_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            spec = (jnp.dot(f_hi, m_hi, preferred_element_type=jnp.float32)
+                    + jnp.dot(f_hi, m_lo, preferred_element_type=jnp.float32)
+                    + jnp.dot(f_lo, m_hi, preferred_element_type=jnp.float32))
+        else:
+            spec = jnp.dot(f, dft_ref[:, :], precision=precision,
+                           preferred_element_type=jnp.float32)
         spectra[c, :, :] = spec[:, :n_freqs]          # real
         spectra[n_ch + c, :, :] = spec[:, n_freqs:]   # imag
         return carry
@@ -64,11 +76,11 @@ def _kernel(frames_ref, dft_ref, mel_ref, out_ref, spectra, *, n_freqs, n_ch,
 
 @partial(jax.jit, static_argnames=("n_fft", "hop", "window", "n_mels",
                                    "sample_rate", "t_blk", "interpret",
-                                   "precision"))
+                                   "precision", "split3"))
 def fused_logmel_iv(x: jnp.ndarray, *, n_fft: int = 1024, hop: int = 240,
                     window: str = "hann", n_mels: int = 64,
                     sample_rate: int = 24000, t_blk: int = 128,
-                    interpret: bool = False,
+                    interpret: bool = False, split3: bool = False,
                     precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
     """(B, 4, samples) float32 -> (B, 7, n_frames, n_mels); numerical parity
     with ops.features.LogmelIVExtractor (and the reference torchaudio chain)."""
@@ -94,7 +106,8 @@ def fused_logmel_iv(x: jnp.ndarray, *, n_fft: int = 1024, hop: int = 240,
                                      norm="slaney"), jnp.float32)
 
     out = pl.pallas_call(
-        partial(_kernel, n_freqs=n_freqs, n_ch=C, precision=precision),
+        partial(_kernel, n_freqs=n_freqs, n_ch=C, precision=precision,
+                split3=split3),
         grid=(B, n_blocks),
         in_specs=[
             pl.BlockSpec((1, 1, C, t_blk, n_fft), lambda b, t: (b, t, 0, 0, 0),

@@ -234,9 +234,29 @@ def fit(task, datamodule, state, cfg, output_dir: Path):
     key = jax.random.PRNGKey(cfg.get("seed", 0))
     stat = {"ov1": 0, "ov2": 0, "ov3": 0}
 
-    loader = datamodule.train_dataloader(num_batches=steps_per_epoch * max_epochs)
-    step_in_epoch = 0
+    # exact training resume (reference trainer.fit(ckpt_path=...)): a 'last'
+    # checkpoint carries opt_state + epoch alongside the model variables
     epoch = 0
+    resume = cfg.get("ckpt_path")
+    if resume and Path(str(resume)).is_dir() and             (Path(str(resume)) / "opt_state").exists():
+        restored = checkpointer.restore(
+            Path(str(resume)).resolve(),
+            jax.device_get({"params": state.params,
+                            "batch_stats": state.batch_stats,
+                            "opt_state": state.opt_state,
+                            "step": state.step,
+                            "epoch": 0, "best_score": 0.0}))
+        state = state.replace(params=restored["params"],
+                              batch_stats=restored["batch_stats"],
+                              opt_state=restored["opt_state"],
+                              step=jax.numpy.asarray(restored["step"]))
+        epoch = int(restored["epoch"])
+        best_score = float(restored["best_score"])
+        log.info("resumed training from %s at epoch %d", resume, epoch)
+
+    loader = datamodule.train_dataloader(
+        num_batches=steps_per_epoch * max(max_epochs - epoch, 0))
+    step_in_epoch = 0
     train_losses = {k: MeanMeter() for k in task.loss.loss_dict_keys}
     t0 = time.time()
     for batch in loader:
@@ -276,7 +296,11 @@ def fit(task, datamodule, state, cfg, output_dir: Path):
                                   force=True)
         checkpointer.save(ckpt_dir / "last",
                           jax.device_get({"params": state.params,
-                                          "batch_stats": state.batch_stats}),
+                                          "batch_stats": state.batch_stats,
+                                          "opt_state": state.opt_state,
+                                          "step": state.step,
+                                          "epoch": epoch,
+                                          "best_score": best_score}),
                           force=True)
         log.info("epoch %d/%d train: %s lr=%.2e", epoch, max_epochs,
                  {k: round(v, 4) for k, v in log_line["train"].items()}, lr)

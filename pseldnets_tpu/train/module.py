@@ -118,10 +118,13 @@ class SELDTask:
             if os.path.isdir(str(ckpt_path)):  # our own orbax checkpoint
                 import orbax.checkpoint as ocp
 
+                # template-free restore: 'last' checkpoints also carry
+                # opt_state/epoch for exact training resume — inference only
+                # needs params + batch_stats
                 restored = ocp.StandardCheckpointer().restore(
-                    os.path.abspath(str(ckpt_path)),
-                    jax.device_get({"params": params, "batch_stats": batch_stats}))
-                params, batch_stats = restored["params"], restored.get("batch_stats", {})
+                    os.path.abspath(str(ckpt_path)))
+                params = restored["params"]
+                batch_stats = restored.get("batch_stats", {})
             else:  # torch checkpoint (reference-format .ckpt/.pth)
                 from .checkpoint import load_seld_inference_ckpt
 

@@ -47,8 +47,12 @@ def main(argv=None):
     num_devices = None if devices in (-1, "auto") else int(devices)
     task = SELDTask(cfg, dataset, steps_per_epoch=datamodule.steps_per_epoch(),
                     num_devices=num_devices)
+    ckpt_path = cfg.get("ckpt_path")
+    from pathlib import Path as _P
+
+    is_train_resume = bool(ckpt_path) and _P(str(ckpt_path)).is_dir() and         (_P(str(ckpt_path)) / "opt_state").exists()
     state = task.init_state(jax.random.PRNGKey(seed),
-                            ckpt_path=cfg.get("ckpt_path"))
+                            ckpt_path=None if is_train_resume else ckpt_path)
 
     output_dir = Path(cfg["paths"]["output_dir"])
     output_dir.mkdir(parents=True, exist_ok=True)
