@@ -25,38 +25,57 @@ class Rotation:
         self.rng = rng or np.random
 
     def __call__(self, batch_x, batch_target):
+        """Per-sample draws stay in a loop (RNG-sequence compatible); the
+        array work is applied batched — the per-sample numpy version was a
+        train-step bottleneck on few-core hosts."""
         N = batch_x.shape[0]
         perms = list(self.trans.keys())
+        sel, perm_rows, sign_rows = [], [], []
         for n in range(N):
             if self.rng.uniform() >= self.p:
                 continue
-            if "accdoa_label" in batch_target:
-                key = "accdoa_label"
-                T, C3 = batch_target[key].shape[1:]
-                doa = batch_target[key][n].reshape(T, 3, C3 // 3).transpose(0, 2, 1)
-            elif "doa_label" in batch_target:
-                key = "doa_label"
-                doa = batch_target[key][n]
-            else:
-                key = "adpit_label"
-                seddoa = np.swapaxes(batch_target[key][n], -1, -2)  # (T,6,K,4)
-                doa = seddoa[..., 1:]
+            perm_rows.append(perms[self.rng.randint(len(perms))])
+            sign_rows.append(self.rng.choice([-1, 1], size=3))
+            sel.append(n)
+        if not sel:
+            return batch_x, batch_target
+        sel = np.asarray(sel)
+        perm_arr = np.asarray(perm_rows)            # (M, 3): xx, yy, zz
+        signs = np.asarray(sign_rows, np.float32)   # (M, 3): sx, sy, sz
+        src = np.asarray([self.trans[tuple(p)] for p in perm_rows])  # (M, 3)
 
-            xx, yy, zz = perms[self.rng.randint(len(perms))]
-            s_x, s_y, s_z = self.trans[(xx, yy, zz)]
-            signx, signy, signz = self.rng.choice([-1, 1], size=3)
-            x = batch_x[n]
-            batch_x[n] = np.stack((x[0], signy * x[s_x], signz * x[s_y],
-                                   signx * x[s_z]), axis=0)
-            y = np.stack((signx * doa[..., xx], signy * doa[..., yy],
-                          signz * doa[..., zz]), axis=-1)
-            if key == "accdoa_label":
-                batch_target[key][n] = y.transpose(0, 2, 1).reshape(T, -1)
-            elif key == "adpit_label":
-                y = np.concatenate([seddoa[..., :1], y], axis=-1)
-                batch_target[key][n] = np.swapaxes(y, -1, -2)
-            else:
-                batch_target[key][n] = y
+        x = batch_x[sel]  # (M, 4, S)
+        batch_x[sel] = np.stack(
+            (x[:, 0],
+             signs[:, 1:2] * np.take_along_axis(x, src[:, 0][:, None, None], 1)[:, 0],
+             signs[:, 2:3] * np.take_along_axis(x, src[:, 1][:, None, None], 1)[:, 0],
+             signs[:, 0:1] * np.take_along_axis(x, src[:, 2][:, None, None], 1)[:, 0]),
+            axis=1)
+
+        if "accdoa_label" in batch_target:
+            key = "accdoa_label"
+            T, C3 = batch_target[key].shape[1:]
+            doa = batch_target[key][sel].reshape(len(sel), T, 3, C3 // 3)
+            doa = np.swapaxes(doa, 2, 3)  # (M, T, K, 3)
+        elif "doa_label" in batch_target:
+            key = "doa_label"
+            doa = batch_target[key][sel]  # (M, T, tracks, 3)
+        else:
+            key = "adpit_label"
+            seddoa = np.swapaxes(batch_target[key][sel], -1, -2)  # (M,T,6,K,4)
+            doa = seddoa[..., 1:]
+
+        gather = np.take_along_axis(
+            doa, perm_arr.reshape((len(sel),) + (1,) * (doa.ndim - 2) + (3,)),
+            axis=-1)
+        y = gather * signs.reshape((len(sel),) + (1,) * (doa.ndim - 2) + (3,))
+        if key == "accdoa_label":
+            batch_target[key][sel] = np.swapaxes(y, 2, 3).reshape(len(sel), T, -1)
+        elif key == "adpit_label":
+            out = np.concatenate([seddoa[..., :1], y], axis=-1)
+            batch_target[key][sel] = np.swapaxes(out, -1, -2)
+        else:
+            batch_target[key][sel] = y
         return batch_x, batch_target
 
 
