@@ -43,13 +43,21 @@ def collate(samples: List[Dict]) -> Dict:
 
 
 class _PrefetchIterator:
-    """Background-thread prefetch over an index-batch iterator."""
+    """Background prefetch over an index-batch iterator.
+
+    Batch items are fetched through a thread pool — the native FLAC/WAV
+    decoder releases the GIL inside ctypes, so item decode parallelizes
+    across host cores (the reference's stated throughput bottleneck,
+    SURVEY §3.1 hot loop 4)."""
 
     def __init__(self, dataset, batch_iter: Iterator, num_batches: Optional[int],
-                 prefetch: int = 4, num_threads: int = 2):
+                 prefetch: int = 4, num_threads: Optional[int] = None):
+        import os
+
         self.dataset = dataset
         self.batch_iter = batch_iter
         self.num_batches = num_batches
+        self.num_threads = num_threads or min(os.cpu_count() or 1, 8)
         self.q: "queue.Queue" = queue.Queue(maxsize=prefetch)
         self._produced = 0
         self._stop = threading.Event()
@@ -57,15 +65,23 @@ class _PrefetchIterator:
         self.thread.start()
 
     def _worker(self):
+        from concurrent.futures import ThreadPoolExecutor
+
         try:
-            for batch_idx in self.batch_iter:
-                if self._stop.is_set():
-                    return
-                if self.num_batches is not None and self._produced >= self.num_batches:
-                    break
-                batch = collate([self.dataset[int(i)] for i in batch_idx])
-                self._produced += 1
-                self.q.put(batch)
+            with ThreadPoolExecutor(max_workers=self.num_threads) as pool:
+                for batch_idx in self.batch_iter:
+                    if self._stop.is_set():
+                        return
+                    if self.num_batches is not None and self._produced >= self.num_batches:
+                        break
+                    if self.num_threads > 1 and len(batch_idx) > 1:
+                        items = list(pool.map(self.dataset.__getitem__,
+                                              [int(i) for i in batch_idx]))
+                    else:
+                        items = [self.dataset[int(i)] for i in batch_idx]
+                    batch = collate(items)
+                    self._produced += 1
+                    self.q.put(batch)
         finally:
             self.q.put(None)
 
