@@ -128,16 +128,20 @@ class Aggregator:
 
 
 class MeanMeter:
+    """Deferred mean: device scalars are held un-fetched so updating never
+    forces a per-step host sync (jax dispatch stays async); compute() fetches
+    once at epoch end."""
+
     def __init__(self):
-        self.total = 0.0
-        self.count = 0
+        self.values = []
 
     def update(self, v):
-        self.total += float(v)
-        self.count += 1
+        self.values.append(v)
 
     def compute(self):
-        return self.total / max(self.count, 1)
+        if not self.values:
+            return 0.0
+        return float(np.mean([float(v) for v in self.values]))
 
 
 def run_validation(task, datamodule, state, metrics: SELDMetrics,
@@ -263,7 +267,7 @@ def fit(task, datamodule, state, cfg, output_dir: Path):
         key, sub = jax.random.split(key)
         state, losses, ov = task.train_step(state, batch, sub)
         for k, v in losses.items():
-            train_losses[k].update(float(v) if not isinstance(v, float) else v)
+            train_losses[k].update(v)
         if ov is not None:
             for o in ov:
                 stat[f"ov{o}"] = stat.get(f"ov{o}", 0) + 1
@@ -294,6 +298,13 @@ def fit(task, datamodule, state, cfg, output_dir: Path):
                                   jax.device_get({"params": state.params,
                                                   "batch_stats": state.batch_stats}),
                                   force=True)
+                # save_top_k=1 (reference configs/callbacks/default.yaml)
+                checkpointer.wait_until_finished()
+                import shutil
+
+                for old in sorted(ckpt_dir.glob("epoch_*")):
+                    if old.name != f"epoch_{epoch:03d}":
+                        shutil.rmtree(old, ignore_errors=True)
         checkpointer.save(ckpt_dir / "last",
                           jax.device_get({"params": state.params,
                                           "batch_stats": state.batch_stats,

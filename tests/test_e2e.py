@@ -163,3 +163,23 @@ def test_infer_test_mode_writes_submissions(preprocessed):
 
     for s in subs:
         load_output_format_file(s)
+
+
+def test_train_resume(preprocessed):
+    """Exact training resume from the full-state 'last' checkpoint."""
+    import train as train_cli
+
+    corpus, work = preprocessed
+    base = ["loss=multi_accdoa", "trainer.max_epochs=1", "seed=11",
+            "task_name=resume_test"]
+    train_cli.main(_overrides(corpus, work, base))
+    runs = sorted((work / "logs").glob("resume_test/runs/*"))
+    last = runs[-1] / "checkpoints" / "last"
+    assert last.is_dir()
+    # continue to epoch 2 from the saved state
+    train_cli.main(_overrides(corpus, work, [
+        "loss=multi_accdoa", "trainer.max_epochs=2", "seed=11",
+        "task_name=resume_test", f"ckpt_path={last}"]))
+    runs2 = sorted((work / "logs").glob("resume_test/runs/*"))
+    lines = [json.loads(l) for l in open(runs2[-1] / "metrics.jsonl")]
+    assert lines[-1]["epoch"] == 2
