@@ -258,14 +258,27 @@ def fit(task, datamodule, state, cfg, output_dir: Path):
         best_score = float(restored["best_score"])
         log.info("resumed training from %s at epoch %d", resume, epoch)
 
+    # jax.profiler trace hook (set profile: N in the config to capture the
+    # first N train steps of the run into <output_dir>/profile)
+    profile_steps = int(cfg.get("profile", 0) or 0)
+    if profile_steps:
+        jax.profiler.start_trace(str(output_dir / "profile"))
+
     loader = datamodule.train_dataloader(
         num_batches=steps_per_epoch * max(max_epochs - epoch, 0))
     step_in_epoch = 0
+    global_step = 0
     train_losses = {k: MeanMeter() for k in task.loss.loss_dict_keys}
     t0 = time.time()
     for batch in loader:
         key, sub = jax.random.split(key)
         state, losses, ov = task.train_step(state, batch, sub)
+        global_step += 1
+        if profile_steps and global_step == profile_steps:
+            jax.block_until_ready(losses["loss_all"])
+            jax.profiler.stop_trace()
+            log.info("profiler trace written to %s", output_dir / "profile")
+            profile_steps = 0
         for k, v in losses.items():
             train_losses[k].update(v)
         if ov is not None:
