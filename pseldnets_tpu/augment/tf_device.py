@@ -6,7 +6,7 @@ masks), crop.py:3-32 (per-(sample,channel) random T x F rectangles),
 freqshift.py:7-38 (random up/down mel shift with reflect padding).
 """
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

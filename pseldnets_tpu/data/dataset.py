@@ -11,7 +11,7 @@ No torch: items are plain numpy dicts; batching/prefetch in datamodule.py.
 
 from collections import OrderedDict
 from pathlib import Path
-from typing import Dict, List
+from typing import Dict
 
 import h5py
 import numpy as np

@@ -7,7 +7,7 @@ PatchEmbed :174-213, DropPath :216-242, CrossStitch :35-54, Decoder :245-269) an
 src/models/components/utils.py (interpolate :25-52).
 """
 
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax

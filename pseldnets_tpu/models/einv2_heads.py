@@ -14,7 +14,6 @@ import jax.numpy as jnp
 from .adapters import AdaptConfig, NO_ADAPT
 from .backbone import CNN
 from .common import CrossStitch, Decoder, ScalarBN, interpolate
-from .conformer import ConformerBlocks
 from .htsat import HTSATEncoder
 from .passt import PaSSTEncoder
 

@@ -11,7 +11,7 @@ DCASE decode + SELD metrics (train/loop.py).
 """
 
 import itertools
-from functools import partial
+
 from typing import Any, Dict, Optional, Tuple
 
 import flax
