@@ -14,6 +14,8 @@ src/models/components/model_module.py:83-121.
 """
 
 from .wave_np import Rotation, TrackMix, WavMix
-from .tf_device import Crop, FreqShift, SpecAugment
+from .tf_device import Crop, FreqShift, SpecAugment, TrackMixDevice
+from .rotate_device import RotationDevice
 
-__all__ = ["Rotation", "WavMix", "TrackMix", "SpecAugment", "Crop", "FreqShift"]
+__all__ = ["Rotation", "WavMix", "TrackMix", "SpecAugment", "Crop", "FreqShift",
+           "TrackMixDevice", "RotationDevice"]

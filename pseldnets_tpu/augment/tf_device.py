@@ -113,3 +113,81 @@ class FreqShift:
         src = jnp.where(apply[:, None], src, f[None] + shift_range)
         shifted = jnp.take_along_axis(pad, src[:, None, None, :], axis=3)
         return shifted, batch_target
+
+
+class TrackMixDevice:
+    """Feature-domain TrackMix for the device TF chain.
+
+    The reference applies TrackMix inside the random TF-aug chains — i.e. on
+    FEATURES, after extraction (aug_TF excludes only rotate/wavmix; reference
+    components/model_module.py:74-78 + augment/trackmix.py). ov1 samples are
+    mixed pairwise with Beta(α,α) weights and labels move into 2-track form.
+
+    Jit notes: the ov1 subset is selected with masks; pairing is a random
+    cyclic shift over the (randomly ordered) ov1 samples instead of a full
+    random permutation — distributionally equivalent up to pairing topology.
+    """
+
+    def __init__(self, alpha=0.5, **_):
+        self.alpha = float(alpha)
+
+    def __call__(self, key, batch_x: jnp.ndarray, batch_target: Dict,
+                 ov1_mask: jnp.ndarray):
+        B = batch_x.shape[0]
+        k1, k2 = jax.random.split(key)
+        # random order with ov1 first; cyclic pairing within the ov1 prefix
+        order = jnp.argsort(jnp.where(ov1_mask, 0.0, 1.0)
+                            + jax.random.uniform(k1, (B,)) * 1e-3)
+        m = jnp.sum(ov1_mask.astype(jnp.int32))
+        pos = jnp.argsort(order)  # position of each sample in `order`
+        nxt = jnp.where(pos + 1 < m, pos + 1, 0)
+        partner = order[nxt]  # for ov1 samples: another ov1 sample
+        lam = jnp.asarray(
+            jax.random.beta(k2, self.alpha, self.alpha, (B,)), batch_x.dtype)
+        gate = ov1_mask  # only ov1 samples are mixed
+
+        def mix(x, l):
+            shape = (B,) + (1,) * (x.ndim - 1)
+            lm = l.reshape(shape)
+            g = gate.reshape(shape)
+            return jnp.where(g, lm * x + (1 - lm) * x[partner], x)
+
+        batch_x = mix(batch_x, lam)
+        new_target = dict(batch_target)
+        if "sed_label" in batch_target:
+            sed, doa = batch_target["sed_label"], batch_target["doa_label"]
+            l_s = lam.reshape((B,) + (1,) * (sed.ndim - 2))
+            g_s = gate.reshape((B,) + (1,) * (sed.ndim - 1))
+            mixed_sed = jnp.stack((l_s * sed[:, :, 0],
+                                   (1 - l_s) * sed[partner][:, :, 0],
+                                   jnp.zeros_like(sed[:, :, 0])), axis=2)
+            mixed_doa = jnp.stack((doa[:, :, 0], doa[partner][:, :, 0],
+                                   jnp.zeros_like(doa[:, :, 0])), axis=2)
+            new_target["sed_label"] = jnp.where(g_s, mixed_sed, sed)
+            new_target["doa_label"] = jnp.where(
+                gate.reshape((B,) + (1,) * (doa.ndim - 1)), mixed_doa, doa)
+        elif "accdoa_label" in batch_target:
+            new_target["accdoa_label"] = mix(batch_target["accdoa_label"], lam)
+        elif "adpit_label" in batch_target:
+            lab = batch_target["adpit_label"]  # (B, T, 6, 4, K)
+            a = lab
+            b = lab[partner]
+            l_y = lam.reshape(B, 1, 1, 1, 1)
+            base_act = l_y * a[:, :, :, 0:1] + (1 - l_y) * b[:, :, :, 0:1]
+            base = jnp.concatenate([base_act, a[:, :, :, 1:] + b[:, :, :, 1:]],
+                                   axis=3)
+            # same-class collision (ov1 inputs: at most one active class) ->
+            # move to b0/b1 slots, zero the rest of the frame
+            coll = jnp.sum(a[:, :, 0, 0] * b[:, :, 0, 0], axis=-1) > 0  # (B, T)
+            collf = coll[:, :, None, None, None]
+            slot1 = jnp.concatenate([l_y * a[:, :, 0:1, 0:1],
+                                     a[:, :, 0:1, 1:]], axis=3)
+            slot2 = jnp.concatenate([(1 - l_y) * b[:, :, 0:1, 0:1],
+                                     b[:, :, 0:1, 1:]], axis=3)
+            zeros = jnp.zeros_like(base[:, :, 0:1])
+            coll_label = jnp.concatenate(
+                [zeros, slot1, slot2, zeros, zeros, zeros], axis=2)
+            mixed = jnp.where(collf, coll_label, base)
+            g = gate.reshape(B, 1, 1, 1, 1)
+            new_target["adpit_label"] = jnp.where(g, mixed, lab)
+        return batch_x, new_target

@@ -20,7 +20,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..augment import Crop, FreqShift, Rotation, SpecAugment, TrackMix, WavMix
+from ..augment import (Crop, FreqShift, Rotation, RotationDevice, SpecAugment,
+                       TrackMix, TrackMixDevice, WavMix)
 from ..losses import build_loss
 from ..models import build_model
 from ..ops import make_extractor
@@ -28,7 +29,10 @@ from ..parallel.mesh import make_mesh, replicate, shard_batch
 from .checkpoint import load_pretrained
 from .optim import build_optimizer
 
-TF_AUG_ORDER = ("specaug", "crop", "freqshift")
+# canonical device-chain order; the reference shuffles chain order randomly
+# (documented deviation). trackmix operates on FEATURES here, exactly like the
+# reference's aug_TF chains (components/model_module.py:74-78).
+TF_AUG_ORDER = ("specaug", "crop", "freqshift", "trackmix")
 
 
 class TrainState(flax.struct.PyTreeNode):
@@ -72,7 +76,15 @@ class SELDTask:
             "specaug": SpecAugment(xy_ratio=xy_ratio, **_kw(aug.get("specaug"))),
             "crop": Crop(**_kw(aug.get("crop"))),
             "freqshift": FreqShift(**_kw(aug.get("freqshift"))),
+            "trackmix": TrackMixDevice(**_kw(aug.get("trackmix"))),
         }
+        # device-side rotation: opt-in, and only legal when wavmix is absent
+        # (the reference applies rotate BEFORE wavmix on the host)
+        rotate_cfg = _kw(aug.get("rotate"))
+        self.rotate_on_device = (rotate_cfg.pop("on_device", False)
+                                 and "rotate" in self.aug_type
+                                 and "wavmix" not in self.aug_type)
+        self.rotate_device = RotationDevice(**rotate_cfg) if self.rotate_on_device             else None
         aug_tf = [a for a in self.aug_type if a in TF_AUG_ORDER]
         self.aug_tf_comb = []
         for n in range(1, len(aug_tf) + 1):
@@ -143,7 +155,7 @@ class SELDTask:
         return replicate(self.mesh, state)
 
     # ----------------------------------------------------------------- steps
-    def _apply_tf_chain(self, key, feats, targets, flags):
+    def _apply_tf_chain(self, key, feats, targets, flags, ov1_mask):
         """Apply TF augs in canonical order gated by traced booleans.
 
         Deviation from the reference: the random *order* shuffle of the chain
@@ -155,7 +167,10 @@ class SELDTask:
             if name not in self.aug_type:
                 continue
             key, sub = jax.random.split(key)
-            aug_x, aug_t = self.tf_augs[name](sub, feats, targets)
+            if name == "trackmix":
+                aug_x, aug_t = self.tf_augs[name](sub, feats, targets, ov1_mask)
+            else:
+                aug_x, aug_t = self.tf_augs[name](sub, feats, targets)
             take = flags[i]
             feats = jnp.where(take, aug_x, feats)
             targets = {k: jnp.where(take, aug_t[k], v) if "label" in k else v
@@ -168,24 +183,31 @@ class SELDTask:
         return batch_x
 
     def _make_train_step(self):
-        def train_step(state: TrainState, batch_x, targets, key, aug_flags):
+        def train_step(state: TrainState, batch_x, targets, key, aug_flags,
+                       ov1_mask):
+            if self.rotate_device is not None:
+                key, sub = jax.random.split(key)
+                batch_x, targets = self.rotate_device(sub, batch_x, targets)
             feats = self._forward_features(batch_x)
             if self.augmix and self.aug_tf_comb:
                 n = feats.shape[0] // 3
                 k1, k2, key = jax.random.split(key, 3)
                 f1, t1 = self._apply_tf_chain(
                     k1, feats[n:2 * n],
-                    {k: v[n:2 * n] for k, v in targets.items()}, aug_flags[0])
+                    {k: v[n:2 * n] for k, v in targets.items()}, aug_flags[0],
+                    ov1_mask[n:2 * n])
                 f2, t2 = self._apply_tf_chain(
                     k2, feats[2 * n:],
-                    {k: v[2 * n:] for k, v in targets.items()}, aug_flags[1])
+                    {k: v[2 * n:] for k, v in targets.items()}, aug_flags[1],
+                    ov1_mask[2 * n:])
                 feats = jnp.concatenate([feats[:n], f1, f2], axis=0)
                 targets = {k: (jnp.concatenate([v[:n], t1[k], t2[k]], axis=0)
                                if "label" in k else v)
                            for k, v in targets.items()}
             elif self.aug_tf_comb:
                 key, sub = jax.random.split(key)
-                feats, targets = self._apply_tf_chain(sub, feats, targets, aug_flags[0])
+                feats, targets = self._apply_tf_chain(sub, feats, targets,
+                                                      aug_flags[0], ov1_mask)
 
             def loss_fn(params):
                 variables = {"params": params}
@@ -247,12 +269,10 @@ class SELDTask:
             targets = {k: (np.concatenate([v] * 3, axis=0)
                            if isinstance(v, np.ndarray) else list(v) * 3)
                        for k, v in targets.items()}
-        if "rotate" in self.aug_type:
+        if "rotate" in self.aug_type and not self.rotate_on_device:
             batch_x, targets = self.wave_augs["rotate"](batch_x, targets)
         if "wavmix" in self.aug_type:
             batch_x, targets = self.wave_augs["wavmix"](batch_x, targets)
-        if "trackmix" in self.aug_type and not self.augmix:
-            batch_x, targets = self.wave_augs["trackmix"](batch_x, targets)
         return batch_x, targets
 
     def train_step(self, state, batch: Dict, key):
@@ -266,8 +286,11 @@ class SELDTask:
         batch_x = shard_batch(self.mesh, jnp.asarray(batch_x))
         label_targets = shard_batch(self.mesh, label_targets)
         flags = jnp.asarray(self.sample_aug_flags())
+        ov = targets.get("ov") or ["1"] * batch_x.shape[0]
+        ov1_mask = shard_batch(self.mesh,
+                               jnp.asarray(np.asarray(ov) == "1"))
         new_state, losses = self._train_step_fn(state, batch_x, label_targets,
-                                                key, flags)
+                                                key, flags, ov1_mask)
         return new_state, losses, targets.get("ov")
 
     def eval_step(self, state, batch: Dict, post_processing: Optional[str] = None):
