@@ -54,6 +54,12 @@ def main(argv=None):
     state = task.init_state(jax.random.PRNGKey(seed),
                             ckpt_path=None if is_train_resume else ckpt_path)
 
+    from pseldnets_tpu.utils.utilities import count_params
+
+    log.info("model parameters: %s (method=%s backbone=%s)",
+             f"{count_params(state.params):,}", task.method,
+             task.meta["backbone"])
+
     output_dir = Path(cfg["paths"]["output_dir"])
     output_dir.mkdir(parents=True, exist_ok=True)
     fit(task, datamodule, state, cfg, output_dir)
