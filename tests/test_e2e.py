@@ -183,3 +183,51 @@ def test_train_resume(preprocessed):
     runs2 = sorted((work / "logs").glob("resume_test/runs/*"))
     lines = [json.loads(l) for l in open(runs2[-1] / "metrics.jsonl")]
     assert lines[-1]["epoch"] == 2
+
+
+def _make_ov1_corpus(root, rng, name, room, n_clips):
+    """Strictly single-source corpus (mono_adapter asserts <=1 event/frame)."""
+    foa = root / name / "foa"
+    meta = root / name / "metadata"
+    foa.mkdir(parents=True)
+    meta.mkdir(parents=True)
+    for i in range(n_clips):
+        stem = f"{room}_mix{i:03d}"
+        sig = (rng.standard_normal((4, FS * CLIP_SEC)) * 3000).astype(np.int16)
+        write_flac(foa / f"{stem}.flac", sig, FS, blocksize=4096)
+        with open(meta / f"{stem}.csv", "w") as f:
+            for frame in range(0, CLIP_SEC * 10, 4):
+                cls = int(rng.integers(0, K))
+                f.write(f"{frame},{cls},0,{int(rng.integers(-180, 180))},"
+                        f"{int(rng.integers(-60, 60))}\n")
+
+
+def test_mono_adapter_spatialization(tmp_path_factory):
+    """mono_adapter training path: on-the-fly spatialization of clips into
+    synthetic FOA with matching single-source labels (reference
+    src/data/data.py:17-59, adapt=mono_adapter)."""
+    import preproc as preproc_cli
+    import train as train_cli
+
+    rng = np.random.default_rng(17)
+    root = tmp_path_factory.mktemp("mono_ds")
+    work = tmp_path_factory.mktemp("mono_work")
+    _make_ov1_corpus(root, rng, "mono2_ov1", "fold0_room0", 2)
+    _make_ov1_corpus(root, rng, "monotest_ov1", "fold1_room1", 1)
+    with open(root / "cls_indices_train.tsv", "w") as f:
+        for i in range(K):
+            f.write(f"x\ty\tclass_{i}\n")
+    mono_over = [
+        "data.train_dataset={mono2_ov1: [fold0_room0]}",
+        "data.valid_dataset={monotest_ov1: [fold1_room1]}",
+        "data.test_dataset={monotest_ov1: [fold1_room1]}",
+    ]
+    for ds in ("mono2_ov1", "monotest_ov1"):
+        preproc_cli.main(_overrides(root, work, mono_over
+                                    + [f"dataset={ds}", "wav_format=.flac"]))
+    train_cli.main(_overrides(root, work, mono_over + [
+        "loss=accdoa", "adapt=mono_adapter", "trainer.max_epochs=1", "seed=9",
+        "task_name=mono_test"]))
+    runs = sorted((work / "logs").glob("mono_test/runs/*"))
+    lines = [json.loads(l) for l in open(runs[-1] / "metrics.jsonl")]
+    assert np.isfinite(lines[-1]["train"]["loss_all"])
