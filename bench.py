@@ -52,7 +52,7 @@ def main():
     # Methodology: vary inputs per iteration and fetch a scalar from each
     # output — the remote-execution relay dedupes identical dispatches and
     # async laziness would otherwise hide work.
-    B = 64  # 10-second clips per batch
+    B = 128  # 10-second clips per batch
     rng = jax.random.PRNGKey(0)
     feats = extractor(jnp.zeros((2, 4, 240000), jnp.float32))
     # jit the init: eager flax init dispatches thousands of individual ops,
@@ -70,7 +70,7 @@ def main():
     out = step(variables, mk(0))
     _ = float(out["multi_accdoa"].ravel()[0])  # force compile + materialize
 
-    iters = 8
+    iters = 6
     xs = [mk(i + 1) for i in range(iters)]
     for x in xs:
         jax.block_until_ready(x)
@@ -82,7 +82,7 @@ def main():
 
     one_min_clips_per_sec = (B / dt) / 6.0
     print(json.dumps({
-        "metric": "1min_FOA_clips/sec/chip (pallas split3 frontend + HTSAT mACCDOA fwd, bf16, B=64)",
+        "metric": "1min_FOA_clips/sec/chip (pallas split3 frontend + HTSAT mACCDOA fwd, bf16, B=128)",
         "value": round(one_min_clips_per_sec, 3),
         "unit": "clips/s",
         "vs_baseline": round(one_min_clips_per_sec / TARGET_CLIPS_PER_SEC, 4),
