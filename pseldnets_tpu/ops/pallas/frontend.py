@@ -3,19 +3,23 @@
 One kernel fuses the feature chain the reference spreads over torchaudio ops
 (reference src/utils/feature.py:20-56):
 
-    window ⊙ DFT (MXU matmul) -> power -> mel (MXU) -> dB
+    hop-decomposed windowed DFT (MXU) -> power -> mel (MXU) -> dB
     -> FOA intensity vector -> L2-normalize -> mel (MXU)
 
-Framing happens outside as static row-shift slices (ops.stft.frame_signal —
-gather-free, bandwidth-speed). The kernel's win over the XLA pipeline is that
-the (4, T, 513) real+imag spectra and power never round-trip HBM: each
-(batch, time-block) grid cell keeps them in VMEM scratch and writes only the
-final (7, T_BLK, 64) features. The DFT matmul runs at full f32 fidelity
-(Precision.HIGHEST) but stays compute-bound in VMEM.
+Framing never materializes: the signal is reshaped into hop-length rows
+(~3% duplicated at block boundaries) and the windowed DFT is decomposed over
+row shifts — with n_fft = k*hop + rem,
+
+    spec[i] = sum_j  rows[i+j] @ D_j ,  D_j = (window (.) DFT)[j*hop:(j+1)*hop]
+
+so each (batch, time-block) grid cell computes ceil(n_fft/hop) small MXU
+matmuls over VMEM-resident rows instead of gathering overlapping frames
+(Mosaic rejects unaligned hop-strided vector loads, and materializing frames
+in HBM costs ~4x the signal bandwidth — it was half the serving step).
 
 Per-cell VMEM at the production config (n_fft=1024, hop=240, T_BLK=128):
-frames (4, 128, 1024) 2 MB + DFT matrix (1024, 1026) 4.2 MB + spectra scratch
-(8, 128, 513) 2.1 MB + outputs ≈ 8.5 MB.
+rows (4, 132, 240) 0.5 MB + D matrices (5, 240, 1026) 4.9 MB + spectra
+scratch (8, 128, 513) 2.1 MB + outputs ~= 8 MB.
 """
 
 from functools import partial
@@ -25,30 +29,32 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..mel import mel_filterbank
-from ..stft import dft_matrices, frame_signal
+from ..stft import dft_matrices
 from ..windows import get_window
 
 EPS_F32 = float(np.finfo(np.float32).eps)
 
 
-def _kernel(frames_ref, dft_ref, mel_ref, out_ref, spectra, *, n_freqs, n_ch,
-            precision, split3):
-    def per_channel(c, carry):
-        f = frames_ref[0, 0, c]
+def _kernel(rows_ref, dft_ref, mel_ref, out_ref, spectra, *, n_freqs, n_ch,
+            t_blk, n_parts, precision, split3):
+    def dot(a, b):
         if split3:
-            # hand-rolled bf16_3x (Mosaic has no Precision.HIGH): x=hi+lo,
-            # M=Mhi+Mlo; x@M ≈ hi@Mhi + hi@Mlo + lo@Mhi (f32-accurate, 3 of
-            # the 6 HIGHEST passes)
-            m_hi = dft_ref[:, :].astype(jnp.bfloat16)
-            m_lo = (dft_ref[:, :] - m_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            f_hi = f.astype(jnp.bfloat16)
-            f_lo = (f - f_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            spec = (jnp.dot(f_hi, m_hi, preferred_element_type=jnp.float32)
-                    + jnp.dot(f_hi, m_lo, preferred_element_type=jnp.float32)
-                    + jnp.dot(f_lo, m_hi, preferred_element_type=jnp.float32))
-        else:
-            spec = jnp.dot(f, dft_ref[:, :], precision=precision,
-                           preferred_element_type=jnp.float32)
+            # hand-rolled bf16_3x (Mosaic has no Precision.HIGH)
+            b_hi = b.astype(jnp.bfloat16)
+            b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            a_hi = a.astype(jnp.bfloat16)
+            a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            return (jnp.dot(a_hi, b_hi, preferred_element_type=jnp.float32)
+                    + jnp.dot(a_hi, b_lo, preferred_element_type=jnp.float32)
+                    + jnp.dot(a_lo, b_hi, preferred_element_type=jnp.float32))
+        return jnp.dot(a, b, precision=precision,
+                       preferred_element_type=jnp.float32)
+
+    def per_channel(c, carry):
+        rows = rows_ref[0, 0, c]  # (t_blk + n_parts - 1, hop)
+        spec = dot(rows[0:t_blk], dft_ref[0])
+        for j in range(1, n_parts):
+            spec = spec + dot(rows[j:j + t_blk], dft_ref[j])
         spectra[c, :, :] = spec[:, :n_freqs]          # real
         spectra[n_ch + c, :, :] = spec[:, n_freqs:]   # imag
         return carry
@@ -62,8 +68,7 @@ def _kernel(frames_ref, dft_ref, mel_ref, out_ref, spectra, *, n_freqs, n_ch,
     def mel_of(v):
         return jax.lax.dot_general(
             v, mel_ref[:, :], dimension_numbers=(((2,), (0,)), ((), ())),
-            precision=precision,
-            preferred_element_type=jnp.float32)
+            precision=precision, preferred_element_type=jnp.float32)
 
     out_ref[0, 0:n_ch, :, :] = 10.0 * jnp.log10(jnp.maximum(mel_of(power), 1e-10))
 
@@ -93,26 +98,40 @@ def fused_logmel_iv(x: jnp.ndarray, *, n_fft: int = 1024, hop: int = 240,
     n_frames = 1 + N // hop  # torch center=True frame count
     t_pad = -(-n_frames // t_blk) * t_blk
     n_blocks = t_pad // t_blk
+    n_parts = n_fft // hop + (1 if n_fft % hop else 0)
 
-    frames = frame_signal(x, n_fft, hop, center=True)  # (B, C, n_frames, n_fft)
-    frames = jnp.pad(frames, ((0, 0), (0, 0), (0, t_pad - n_frames), (0, 0)))
-    frames = jnp.swapaxes(frames, 1, 2).reshape(B, n_blocks, t_blk, C, n_fft)
-    frames = jnp.swapaxes(frames, 2, 3)  # (B, n_blocks, C, t_blk, n_fft)
+    # hop-length rows; each block needs t_blk + n_parts - 1 of them
+    x = jnp.pad(x, ((0, 0), (0, 0), (n_fft // 2, n_fft // 2)), mode="reflect")
+    rows_per_block = t_blk + n_parts - 1
+    rows_needed = (n_blocks - 1) * t_blk + rows_per_block
+    need = rows_needed * hop
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, max(0, need - x.shape[-1]))))
+    rows = x[..., :need].reshape(B, C, rows_needed, hop)
+    # per-block row slabs (n_parts-1 boundary rows duplicated per block)
+    idx = (np.arange(n_blocks)[:, None] * t_blk
+           + np.arange(rows_per_block)[None, :])
+    rows = jnp.swapaxes(rows[:, :, idx], 1, 2)  # (B, n_blocks, C, rpb, hop)
 
-    wcos, wsin = dft_matrices(n_fft, get_window(window, n_fft))
-    dft = jnp.asarray(np.concatenate([wcos, wsin], axis=1), jnp.float32)
+    win = get_window(window, n_fft)
+    wcos, wsin = dft_matrices(n_fft, win)
+    dft_full = np.concatenate([wcos, wsin], axis=1)  # (n_fft, 2*n_freqs)
+    parts = np.zeros((n_parts, hop, 2 * n_freqs), np.float32)
+    for j in range(n_parts):
+        seg = dft_full[j * hop: min((j + 1) * hop, n_fft)]
+        parts[j, : seg.shape[0]] = seg
     mel = jnp.asarray(mel_filterbank(sample_rate, n_fft, n_mels, fmin=20.0,
                                      fmax=sample_rate / 2.0, scale="htk",
                                      norm="slaney"), jnp.float32)
 
     out = pl.pallas_call(
-        partial(_kernel, n_freqs=n_freqs, n_ch=C, precision=precision,
-                split3=split3),
+        partial(_kernel, n_freqs=n_freqs, n_ch=C, t_blk=t_blk,
+                n_parts=n_parts, precision=precision, split3=split3),
         grid=(B, n_blocks),
         in_specs=[
-            pl.BlockSpec((1, 1, C, t_blk, n_fft), lambda b, t: (b, t, 0, 0, 0),
+            pl.BlockSpec((1, 1, C, rows_per_block, hop),
+                         lambda b, t: (b, t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_fft, 2 * n_freqs), lambda b, t: (0, 0),
+            pl.BlockSpec((n_parts, hop, 2 * n_freqs), lambda b, t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n_freqs, n_mels), lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -124,5 +143,5 @@ def fused_logmel_iv(x: jnp.ndarray, *, n_fft: int = 1024, hop: int = 240,
             pltpu.VMEM((2 * C, t_blk, n_freqs), jnp.float32),
         ],
         interpret=interpret,
-    )(frames, dft, mel)
+    )(rows, jnp.asarray(parts), mel)
     return out[:, :, :n_frames, :]
