@@ -50,25 +50,28 @@ def _kernel(rows_ref, dft_ref, mel_ref, out_ref, spectra, *, n_freqs, n_ch,
         return jnp.dot(a, b, precision=precision,
                        preferred_element_type=jnp.float32)
 
-    def per_channel(c, carry):
-        rows = rows_ref[0, 0, c]  # (t_blk + n_parts - 1, hop)
-        spec = dot(rows[0:t_blk], dft_ref[0])
-        for j in range(1, n_parts):
-            spec = spec + dot(rows[j:j + t_blk], dft_ref[j])
-        spectra[c, :, :] = spec[:, :n_freqs]          # real
-        spectra[n_ch + c, :, :] = spec[:, n_freqs:]   # imag
-        return carry
+    # batch all channels into one (C*T_BLK, hop) operand per shift — 4x the
+    # matmul M-dim keeps the MXU full instead of four skinny dots
+    def shifted(j):
+        return jnp.concatenate([rows_ref[0, 0, c, j:j + t_blk]
+                                for c in range(n_ch)], axis=0)
 
-    jax.lax.fori_loop(0, n_ch, per_channel, 0)
+    spec = dot(shifted(0), dft_ref[0])
+    for j in range(1, n_parts):
+        spec = spec + dot(shifted(j), dft_ref[j])
+    spec = spec.reshape(n_ch, t_blk, 2 * n_freqs)
+    spectra[0:n_ch, :, :] = spec[:, :, :n_freqs]          # real
+    spectra[n_ch:2 * n_ch, :, :] = spec[:, :, n_freqs:]   # imag
 
     re = spectra[0:n_ch, :, :]
     im = spectra[n_ch:2 * n_ch, :, :]
     power = re * re + im * im  # (4, T_BLK, F)
 
     def mel_of(v):
-        return jax.lax.dot_general(
-            v, mel_ref[:, :], dimension_numbers=(((2,), (0,)), ((), ())),
-            precision=precision, preferred_element_type=jnp.float32)
+        lead = v.shape[:-1]
+        flat = jnp.dot(v.reshape(-1, v.shape[-1]), mel_ref[:, :],
+                       precision=precision, preferred_element_type=jnp.float32)
+        return flat.reshape(lead + (mel_ref.shape[1],))
 
     out_ref[0, 0:n_ch, :, :] = 10.0 * jnp.log10(jnp.maximum(mel_of(power), 1e-10))
 
