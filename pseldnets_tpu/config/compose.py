@@ -245,6 +245,10 @@ def _resolve_interpolations(cfg: Dict, now: _dt.datetime) -> None:
                 node = node[p]
             else:
                 raise KeyError(path)
+        if isinstance(node, str) and "${" in node:
+            # target not yet resolved — defer to a later pass instead of baking
+            # the raw interpolation text into the consumer
+            raise KeyError(path)
         return node
 
     def resolve_value(v: str) -> Any:
@@ -293,7 +297,8 @@ def _resolve_interpolations(cfg: Dict, now: _dt.datetime) -> None:
             return node, done
         if isinstance(node, str) and "${" in node:
             try:
-                return resolve_value(node), True
+                nv = resolve_value(node)
+                return nv, not (isinstance(nv, str) and "${" in nv)
             except KeyError:
                 return node, False
         return node, True

@@ -335,12 +335,16 @@ class TransformerEncoderLayer(nn.Module):
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         attn = nn.MultiHeadDotProductAttention(
             num_heads=self.nhead, qkv_features=self.d_model, dtype=self.dtype,
-            deterministic=True, name="self_attn")
+            dropout_rate=self.dropout, deterministic=deterministic,
+            name="self_attn")
         h = attn(x, x)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x + h)
         h = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")(x)
         h = nn.relu(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x + h)
         return x
 

@@ -217,6 +217,44 @@ def convert_state_dict(torch_sd: Dict[str, np.ndarray], variables,
             out[path] = init_val
             continue
 
+        # flax MultiHeadDotProductAttention under TransformerEncoderLayer:
+        # torch packs q/k/v as self_attn.in_proj_weight (3E, E) / in_proj_bias
+        # (3E,), out as self_attn.out_proj.* (torch nn.TransformerEncoderLayer;
+        # reference model_utilities.py:255-259)
+        if "self_attn" in rest_t and rest_t[-1] in ("kernel", "bias") \
+                and rest_t[rest_t.index("self_attn") + 1] in ("query", "key",
+                                                              "value", "out"):
+            i_sa = rest_t.index("self_attn")
+            proj, leaf = rest_t[i_sa + 1], rest_t[-1]
+            base = flax_to_torch_key(rest_t[:i_sa + 1] + ("x",)).rsplit(".", 1)[0]
+            base = prefix + base
+            if proj == "out":
+                wk = f"{base}.out_proj.weight" if leaf == "kernel" \
+                    else f"{base}.out_proj.bias"
+            else:
+                wk = f"{base}.in_proj_weight" if leaf == "kernel" \
+                    else f"{base}.in_proj_bias"
+            if skip(wk):
+                skipped.append(wk)
+                out[path] = init_val
+                continue
+            if wk not in torch_sd:
+                missing.append(wk)
+                out[path] = init_val
+                continue
+            v = np.asarray(torch_sd[wk], np.float32)
+            used.add(wk)
+            if proj == "out":
+                v = v.T if leaf == "kernel" else v  # (E,E)->(E,E)=(h*d,E)
+            else:
+                E = v.shape[-1] if leaf == "kernel" else v.shape[0] // 3
+                off = {"query": 0, "key": 1, "value": 2}[proj] * E
+                v = v[off:off + E]
+                if leaf == "kernel":
+                    v = v.T  # torch (out,in) -> flax (in, h*d)
+            out[path] = v.reshape(init_val.shape)
+            continue
+
         if tkey in special:
             out[path] = special[tkey](torch_sd, rest_t, tuple(init_val.shape))
             used.add(tkey)

@@ -24,13 +24,18 @@ def _build_native() -> Optional[Path]:
     src = _NATIVE_DIR / "audio_decoder.cpp"
     if not src.exists():
         return None
+    # build to a per-process temp path, then atomically rename: a concurrent
+    # process must never CDLL a partially-written .so
+    tmp = _SO_PATH.with_suffix(f".so.{os.getpid()}.tmp")
     try:
         subprocess.run(
             ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", str(src),
-             "-o", str(_SO_PATH)],
+             "-o", str(tmp)],
             check=True, capture_output=True)
+        os.replace(tmp, _SO_PATH)
         return _SO_PATH
     except Exception:
+        tmp.unlink(missing_ok=True)
         return None
 
 

@@ -227,3 +227,30 @@ def test_einv2_passt_parity(rng):
     ref_out, out = _convert_and_run(tm, fm, x)
     np.testing.assert_allclose(np.asarray(out["sed"]), ref_out["sed"].numpy(), atol=2e-4)
     np.testing.assert_allclose(np.asarray(out["doa"]), ref_out["doa"].numpy(), atol=2e-4)
+
+
+def test_transformer_decoder_parity(rng):
+    """decoder: transformer — torch nn.TransformerEncoder (the exact module the
+    reference builds, model_utilities.py:255-259) converted via the packed
+    in_proj qkv split must match the flax Decoder bit-for-bit-ish."""
+    import torch.nn as tnn
+
+    from pseldnets_tpu.models.common import Decoder
+
+    torch.manual_seed(3)
+    tdec = tnn.TransformerEncoder(
+        tnn.TransformerEncoderLayer(d_model=32, nhead=8, batch_first=True),
+        num_layers=2)
+    tdec.eval()
+
+    model = Decoder(decoder="transformer", num_feats=32, num_layers=2)
+    x = rng.standard_normal((2, 10, 32)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    sd = {f"decoder.{k}": v.numpy() for k, v in tdec.state_dict().items()}
+    variables, report = ckpt_mod.convert_state_dict(sd, variables, strict=True)
+    assert not report["unused"], report["unused"]
+
+    with torch.no_grad():
+        ref = tdec(torch.from_numpy(x)).numpy()
+    out = np.asarray(model.apply(variables, jnp.asarray(x), deterministic=True))
+    assert np.abs(out - ref).max() < 2e-5, np.abs(out - ref).max()

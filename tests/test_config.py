@@ -73,3 +73,26 @@ def test_debug_overlay():
     assert cfg.task_name == "debug"
     assert cfg.trainer.limit_val_batches == 3
     assert cfg.trainer.detect_anomaly is True
+
+
+def test_no_baked_unresolved_interpolations():
+    """Regression: a consumer resolved before its dependency must not bake the
+    dependency's raw ``${...}`` text (logger save_dir once became a literal
+    '${hydra:runtime.output_dir}/tensorboard/' directory on disk)."""
+    cfg = compose(CONFIG_DIR, "train",
+                  ["paths.log_dir=/tmp/x/logs", "loss=multi_accdoa"])
+    assert cfg.logger.tensorboard.save_dir == cfg.paths.output_dir + "/tensorboard/"
+    bad = []
+
+    def walk(n, p=""):
+        if isinstance(n, dict):
+            for k, v in n.items():
+                walk(v, f"{p}{k}.")
+        elif isinstance(n, list):
+            for i, v in enumerate(n):
+                walk(v, f"{p}{i}.")
+        elif isinstance(n, str) and "${" in n:
+            bad.append(f"{p[:-1]} = {n}")
+
+    walk(dict(cfg))
+    assert not bad, bad

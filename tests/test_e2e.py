@@ -74,7 +74,7 @@ def _overrides(corpus_root, work, extra=()):
 @pytest.fixture(scope="module")
 def preprocessed(corpus, tmp_path_factory):
     work = tmp_path_factory.mktemp("work")
-    import preproc as preproc_cli
+    from cli_loader import load_cli; preproc_cli = load_cli("preproc")
 
     for ds in ("train2_ov1", "test2_ov1"):
         preproc_cli.main(_overrides(corpus, work, [f"dataset={ds}",
@@ -94,8 +94,8 @@ def preprocessed(corpus, tmp_path_factory):
 ])
 def test_train_and_infer_e2e(preprocessed, method_override, exp_key):
     corpus, work = preprocessed
-    import train as train_cli
-    import infer as infer_cli
+    from cli_loader import load_cli; train_cli = load_cli("train")
+    from cli_loader import load_cli; infer_cli = load_cli("infer")
 
     overrides = _overrides(corpus, work, [
         method_override, "augment=augmix", "trainer.max_epochs=1",
@@ -130,7 +130,7 @@ def test_train_and_infer_e2e(preprocessed, method_override, exp_key):
 def test_infer_acs_tta(preprocessed):
     """16-way rotation test-time augmentation path (post_processing=ACS)."""
     corpus, work = preprocessed
-    import infer as infer_cli
+    from cli_loader import load_cli; infer_cli = load_cli("infer")
 
     macro = infer_cli.main(_overrides(corpus, work, [
         "loss=multi_accdoa", "mode=valid", "post_processing=ACS"]))
@@ -140,8 +140,8 @@ def test_infer_acs_tta(preprocessed):
 def test_infer_move_avg(preprocessed):
     """Overlapped-chunk moving-average stitching (test_hoplen < chunklen)."""
     corpus, work = preprocessed
-    import preproc as preproc_cli
-    import infer as infer_cli
+    from cli_loader import load_cli; preproc_cli = load_cli("preproc")
+    from cli_loader import load_cli; infer_cli = load_cli("infer")
 
     extra = ["data.test_hoplen_sec=2"]
     preproc_cli.main(_overrides(corpus, work, ["dataset=test2_ov1",
@@ -153,7 +153,7 @@ def test_infer_move_avg(preprocessed):
 
 def test_infer_test_mode_writes_submissions(preprocessed):
     corpus, work = preprocessed
-    import infer as infer_cli
+    from cli_loader import load_cli; infer_cli = load_cli("infer")
 
     infer_cli.main(_overrides(corpus, work, ["loss=multi_accdoa", "mode=test"]))
     subs = sorted((work / "logs").glob("**/submissions/*.csv"))
@@ -167,7 +167,7 @@ def test_infer_test_mode_writes_submissions(preprocessed):
 
 def test_train_resume(preprocessed):
     """Exact training resume from the full-state 'last' checkpoint."""
-    import train as train_cli
+    from cli_loader import load_cli; train_cli = load_cli("train")
 
     corpus, work = preprocessed
     base = ["loss=multi_accdoa", "trainer.max_epochs=1", "seed=11",
@@ -206,8 +206,8 @@ def test_mono_adapter_spatialization(tmp_path_factory):
     """mono_adapter training path: on-the-fly spatialization of clips into
     synthetic FOA with matching single-source labels (reference
     src/data/data.py:17-59, adapt=mono_adapter)."""
-    import preproc as preproc_cli
-    import train as train_cli
+    from cli_loader import load_cli; preproc_cli = load_cli("preproc")
+    from cli_loader import load_cli; train_cli = load_cli("train")
 
     rng = np.random.default_rng(17)
     root = tmp_path_factory.mktemp("mono_ds")

@@ -24,7 +24,7 @@ def _random_stream(rng, num_frames=120, K=5):
 
 
 def test_evaluate_cli(tmp_path, rng):
-    import evaluate as ev
+    from cli_loader import load_cli; ev = load_cli("evaluate")
 
     gt_dir = tmp_path / "gt"
     pred_dir = tmp_path / "pred"
