@@ -49,40 +49,45 @@ def main():
         # 3-dot DFT (max dB error vs f32-HIGHEST: 8e-4, validated on-chip)
         return fused_logmel_iv(w, split3=True)
 
-    # Methodology: vary inputs per iteration and fetch a scalar from each
-    # output — the remote-execution relay dedupes identical dispatches and
-    # async laziness would otherwise hide work.
+    # Methodology: every sub-step consumes a DIFFERENT input (derived on
+    # device from a base batch and the iteration index) and contributes a
+    # scalar to the fetched result — the remote-execution relay dedupes
+    # identical dispatches and async laziness would otherwise hide work.
+    # K batches are processed per dispatch so the dev harness's ~25 ms
+    # per-dispatch relay round-trip doesn't masquerade as device time (a
+    # production host dispatches over PCIe at ~10 us).
     B = 128  # 10-second clips per batch
+    K = 4    # batches per dispatch
     rng = jax.random.PRNGKey(0)
     feats = extractor(jnp.zeros((2, 4, 240000), jnp.float32))
     # jit the init: eager flax init dispatches thousands of individual ops,
     # which is pathologically slow over the remote-execution relay
     variables = jax.jit(lambda r, f: model.init({"params": r}, f, train=False))(rng, feats)
 
+    base = jax.random.normal(jax.random.PRNGKey(42), (B, 4, 240000),
+                             jnp.float32) * 0.1
+
     @jax.jit
-    def step(variables, wav):
-        return model.apply(variables, extractor(wav), train=False)
+    def step(variables, base, k):
+        acc = jnp.float32(0)
+        for i in range(K):
+            wav = base * (1.0 + 1e-4 * (k * K + i)) + 1e-5 * (k * K + i)
+            out = model.apply(variables, extractor(wav), train=False)
+            acc = acc + out["multi_accdoa"].astype(jnp.float32).mean()
+        return acc
 
-    def mk(i):
-        return jax.random.normal(jax.random.PRNGKey(i), (B, 4, 240000),
-                                 jnp.float32) * 0.1
+    _ = float(step(variables, base, jnp.int32(0)))  # compile + materialize
 
-    out = step(variables, mk(0))
-    _ = float(out["multi_accdoa"].ravel()[0])  # force compile + materialize
-
-    iters = 6
-    xs = [mk(i + 1) for i in range(iters)]
-    for x in xs:
-        jax.block_until_ready(x)
+    iters = 5
+    jax.block_until_ready(base)
     t0 = time.perf_counter()
-    for x in xs:
-        out = step(variables, x)
-        _ = float(out["multi_accdoa"].ravel()[0])
-    dt = (time.perf_counter() - t0) / iters
+    for i in range(iters):
+        _ = float(step(variables, base, jnp.int32(i + 1)))
+    dt = (time.perf_counter() - t0) / (iters * K)
 
     one_min_clips_per_sec = (B / dt) / 6.0
     print(json.dumps({
-        "metric": "1min_FOA_clips/sec/chip (pallas split3 frontend + HTSAT mACCDOA fwd, bf16, B=128)",
+        "metric": "1min_FOA_clips/sec/chip (pallas split3 frontend + HTSAT mACCDOA fwd, bf16, B=128, 4 batches/dispatch)",
         "value": round(one_min_clips_per_sec, 3),
         "unit": "clips/s",
         "vs_baseline": round(one_min_clips_per_sec / TARGET_CLIPS_PER_SEC, 4),

@@ -90,6 +90,10 @@ class LogmelIVExtractor:
         if backend == "auto":
             backend = "pallas" if jax.default_backend() == "tpu" else "xla"
         self.backend = backend
+        # split-bf16 3-dot DFT (3x fewer MXU passes than f32 HIGHEST's 6;
+        # max observed error 8e-4 dB logmel / 7e-5 IV vs f32). Set
+        # data.frontend_dft: f32 to force the exact path.
+        self.split3 = str(data.get("frontend_dft", "split3")) != "f32"
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         """(B, 4, samples) -> (B, 7, n_frames, n_mels)."""
@@ -100,7 +104,7 @@ class LogmelIVExtractor:
 
             return fused_logmel_iv(x, n_fft=self.n_fft, hop=self.hop,
                                    window=self.window, n_mels=self.n_mels,
-                                   sample_rate=self.sr)
+                                   sample_rate=self.sr, split3=self.split3)
         real, imag = self._stft(x, self.n_fft, self.hop, self.window)  # (B,4,T,F)
         power = real * real + imag * imag
         logmel = power_to_db(_mel_project(power, self.mel_fb))

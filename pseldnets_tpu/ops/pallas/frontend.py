@@ -37,28 +37,35 @@ EPS_F32 = float(np.finfo(np.float32).eps)
 
 def _kernel(rows_ref, dft_ref, mel_ref, out_ref, spectra, *, n_freqs, n_ch,
             t_blk, n_parts, precision, split3):
-    def dot(a, b):
-        if split3:
-            # hand-rolled bf16_3x (Mosaic has no Precision.HIGH)
-            b_hi = b.astype(jnp.bfloat16)
-            b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            a_hi = a.astype(jnp.bfloat16)
-            a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            return (jnp.dot(a_hi, b_hi, preferred_element_type=jnp.float32)
-                    + jnp.dot(a_hi, b_lo, preferred_element_type=jnp.float32)
-                    + jnp.dot(a_lo, b_hi, preferred_element_type=jnp.float32))
-        return jnp.dot(a, b, precision=precision,
-                       preferred_element_type=jnp.float32)
-
     # batch all channels into one (C*T_BLK, hop) operand per shift — 4x the
     # matmul M-dim keeps the MXU full instead of four skinny dots
-    def shifted(j):
-        return jnp.concatenate([rows_ref[0, 0, c, j:j + t_blk]
-                                for c in range(n_ch)], axis=0)
+    def shifted(slab, j):
+        return jnp.concatenate([slab[c, j:j + t_blk] for c in range(n_ch)],
+                               axis=0)
 
-    spec = dot(shifted(0), dft_ref[0])
-    for j in range(1, n_parts):
-        spec = spec + dot(shifted(j), dft_ref[j])
+    if split3:
+        # hand-rolled bf16_3x (Mosaic has no Precision.HIGH). The DFT matrix
+        # arrives pre-split into bf16 hi/lo planes (host-side, bit-identical
+        # to splitting here), and the row slab is split once per grid cell —
+        # boundary rows would otherwise be re-converted for every shift j.
+        slab = rows_ref[0, 0]  # (C, rpb, hop) f32
+        slab_hi = slab.astype(jnp.bfloat16)
+        slab_lo = (slab - slab_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        spec = None
+        for j in range(n_parts):
+            a_hi = shifted(slab_hi, j)
+            a_lo = shifted(slab_lo, j)
+            s = (jnp.dot(a_hi, dft_ref[0, j], preferred_element_type=jnp.float32)
+                 + jnp.dot(a_hi, dft_ref[1, j], preferred_element_type=jnp.float32)
+                 + jnp.dot(a_lo, dft_ref[0, j], preferred_element_type=jnp.float32))
+            spec = s if spec is None else spec + s
+    else:
+        slab = rows_ref[0, 0]
+        spec = None
+        for j in range(n_parts):
+            s = jnp.dot(shifted(slab, j), dft_ref[j], precision=precision,
+                        preferred_element_type=jnp.float32)
+            spec = s if spec is None else spec + s
     spec = spec.reshape(n_ch, t_blk, 2 * n_freqs)
     spectra[0:n_ch, :, :] = spec[:, :, :n_freqs]          # real
     spectra[n_ch:2 * n_ch, :, :] = spec[:, :, n_freqs:]   # imag
@@ -82,16 +89,96 @@ def _kernel(rows_ref, dft_ref, mel_ref, out_ref, spectra, *, n_freqs, n_ch,
     out_ref[0, n_ch:n_ch + 3, :, :] = mel_of(iv / normal)
 
 
+def _kernel_r2(rows_ref, dft_ref, mel_ref, out_ref, *, nfh, n_ch, t_blk,
+               n_parts, precision, split3):
+    """Radix-2 DIT variant: two half-size sub-DFT chains + butterfly.
+
+    With E = DFT_{n/2}(even·w_even) and O' = twiddled DFT_{n/2}(odd·w_odd),
+    S = E+O' gives spectrum bins 0..n/4 and D = E-O' gives bins n/2..n/4 in
+    REVERSED order, conjugated (X[n/2-j] = conj(D[j])). Power and the FOA
+    intensity vector are invariant under conjugation, and the mel projection
+    absorbs the bin reversal into a host-built reversed mel matrix — so no
+    in-kernel flip is ever needed. Halves the DFT MAC count exactly (the
+    outputs are bit-identical transforms, not approximations).
+    """
+    def shifted(slab, j):
+        return jnp.concatenate([slab[c, j:j + t_blk] for c in range(n_ch)],
+                               axis=0)
+
+    def chain(stream):
+        slab = rows_ref[0, 0, stream]  # (C, rpb, half_hop)
+        spec = None
+        if split3:
+            s_hi = slab.astype(jnp.bfloat16)
+            s_lo = (slab - s_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            for j in range(n_parts):
+                a_hi = shifted(s_hi, j)
+                a_lo = shifted(s_lo, j)
+                s = (jnp.dot(a_hi, dft_ref[stream, 0, j],
+                             preferred_element_type=jnp.float32)
+                     + jnp.dot(a_hi, dft_ref[stream, 1, j],
+                               preferred_element_type=jnp.float32)
+                     + jnp.dot(a_lo, dft_ref[stream, 0, j],
+                               preferred_element_type=jnp.float32))
+                spec = s if spec is None else spec + s
+        else:
+            for j in range(n_parts):
+                s = jnp.dot(shifted(slab, j), dft_ref[stream, j],
+                            precision=precision,
+                            preferred_element_type=jnp.float32)
+                spec = s if spec is None else spec + s
+        return spec  # (C*t_blk, 2*nfh)
+
+    ev = chain(0)
+    ot = chain(1)
+    s_f = ev + ot
+    d_f = ev - ot
+
+    def halves(m):
+        r = m.reshape(n_ch, t_blk, 2 * nfh)
+        return r[:, :, :nfh], r[:, :, nfh:]
+
+    s_re, s_im = halves(s_f)
+    d_re, d_im = halves(d_f)
+
+    def mel2(lo, hi):
+        lead = lo.shape[:-1]
+        flat = (jnp.dot(lo.reshape(-1, nfh), mel_ref[0],
+                        precision=precision,
+                        preferred_element_type=jnp.float32)
+                + jnp.dot(hi.reshape(-1, nfh), mel_ref[1],
+                          precision=precision,
+                          preferred_element_type=jnp.float32))
+        return flat.reshape(lead + (mel_ref.shape[-1],))
+
+    pow_lo = s_re * s_re + s_im * s_im
+    pow_hi = d_re * d_re + d_im * d_im
+    out_ref[0, 0:n_ch, :, :] = 10.0 * jnp.log10(
+        jnp.maximum(mel2(pow_lo, pow_hi), 1e-10))
+
+    iv_lo = s_re[1:4] * s_re[0][None] + s_im[1:4] * s_im[0][None]
+    iv_hi = d_re[1:4] * d_re[0][None] + d_im[1:4] * d_im[0][None]
+    nl = jnp.sqrt(jnp.sum(iv_lo * iv_lo, axis=0, keepdims=True)) + EPS_F32
+    nh = jnp.sqrt(jnp.sum(iv_hi * iv_hi, axis=0, keepdims=True)) + EPS_F32
+    out_ref[0, n_ch:n_ch + 3, :, :] = mel2(iv_lo / nl, iv_hi / nh)
+
+
 @partial(jax.jit, static_argnames=("n_fft", "hop", "window", "n_mels",
                                    "sample_rate", "t_blk", "interpret",
-                                   "precision", "split3"))
+                                   "precision", "split3", "radix2"))
 def fused_logmel_iv(x: jnp.ndarray, *, n_fft: int = 1024, hop: int = 240,
                     window: str = "hann", n_mels: int = 64,
                     sample_rate: int = 24000, t_blk: int = 128,
                     interpret: bool = False, split3: bool = False,
+                    radix2=None,
                     precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
     """(B, 4, samples) float32 -> (B, 7, n_frames, n_mels); numerical parity
-    with ops.features.LogmelIVExtractor (and the reference torchaudio chain)."""
+    with ops.features.LogmelIVExtractor (and the reference torchaudio chain).
+
+    radix2=None (auto) picks the DIT kernel only for the f32 path: measured on
+    v5e the split3 kernel is latency- not MXU-bound, so halving DFT MACs only
+    pays for the heavier 6-pass f32 HIGHEST dots (32 vs ~36 ms @B=64).
+    """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -101,6 +188,17 @@ def fused_logmel_iv(x: jnp.ndarray, *, n_fft: int = 1024, hop: int = 240,
     n_frames = 1 + N // hop  # torch center=True frame count
     t_pad = -(-n_frames // t_blk) * t_blk
     n_blocks = t_pad // t_blk
+
+    if radix2 is None:
+        radix2 = not split3
+    if radix2 and n_fft % 2 == 0 and hop % 2 == 0:
+        return _call_radix2(x, pl=pl, pltpu=pltpu, n_fft=n_fft, hop=hop,
+                            window=window, n_mels=n_mels,
+                            sample_rate=sample_rate, t_blk=t_blk,
+                            interpret=interpret, split3=split3,
+                            precision=precision, n_frames=n_frames,
+                            t_pad=t_pad, n_blocks=n_blocks)
+
     n_parts = n_fft // hop + (1 if n_fft % hop else 0)
 
     # hop-length rows; each block needs t_blk + n_parts - 1 of them
@@ -122,6 +220,10 @@ def fused_logmel_iv(x: jnp.ndarray, *, n_fft: int = 1024, hop: int = 240,
     for j in range(n_parts):
         seg = dft_full[j * hop: min((j + 1) * hop, n_fft)]
         parts[j, : seg.shape[0]] = seg
+    if split3:  # pre-split the DFT operand into bf16 hi/lo planes
+        hi = parts.astype(np.float32).astype(jnp.bfloat16)
+        lo = (parts - np.asarray(hi, np.float32)).astype(jnp.bfloat16)
+        parts = np.stack([np.asarray(hi), np.asarray(lo)], axis=0)
     mel = jnp.asarray(mel_filterbank(sample_rate, n_fft, n_mels, fmin=20.0,
                                      fmax=sample_rate / 2.0, scale="htk",
                                      norm="slaney"), jnp.float32)
@@ -134,8 +236,11 @@ def fused_logmel_iv(x: jnp.ndarray, *, n_fft: int = 1024, hop: int = 240,
             pl.BlockSpec((1, 1, C, rows_per_block, hop),
                          lambda b, t: (b, t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_parts, hop, 2 * n_freqs), lambda b, t: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            (pl.BlockSpec((2, n_parts, hop, 2 * n_freqs),
+                          lambda b, t: (0, 0, 0, 0), memory_space=pltpu.VMEM)
+             if split3 else
+             pl.BlockSpec((n_parts, hop, 2 * n_freqs), lambda b, t: (0, 0, 0),
+                          memory_space=pltpu.VMEM)),
             pl.BlockSpec((n_freqs, n_mels), lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -147,4 +252,93 @@ def fused_logmel_iv(x: jnp.ndarray, *, n_fft: int = 1024, hop: int = 240,
         ],
         interpret=interpret,
     )(rows, jnp.asarray(parts), mel)
+    return out[:, :, :n_frames, :]
+
+
+def _call_radix2(x, *, pl, pltpu, n_fft, hop, window, n_mels, sample_rate,
+                 t_blk, interpret, split3, precision, n_frames, t_pad,
+                 n_blocks):
+    """Host prep + pallas_call for the radix-2 DIT kernel.
+
+    Frame f covers padded[f*hop + n], n = 0..n_fft-1 (center=True reflect pad
+    of n_fft/2 keeps parity). hop even => even frame samples live at even
+    absolute positions, so decimating the SIGNAL once yields two streams in
+    which the same hop-row decomposition applies with half the hop.
+    """
+    B, C, _ = x.shape
+    hf, hh = n_fft // 2, hop // 2
+    nfh = hf // 2 + 1
+    n_freqs = n_fft // 2 + 1
+    n_parts = -(-hf // hh)
+
+    x = jnp.pad(x, ((0, 0), (0, 0), (n_fft // 2, n_fft // 2)), mode="reflect")
+    rows_per_block = t_blk + n_parts - 1
+    rows_needed = (n_blocks - 1) * t_blk + rows_per_block
+    need = rows_needed * hh
+    idx = (np.arange(n_blocks)[:, None] * t_blk
+           + np.arange(rows_per_block)[None, :])
+
+    def rows_of(sig):
+        sig = jnp.pad(sig, ((0, 0), (0, 0),
+                            (0, max(0, need - sig.shape[-1]))))
+        r = sig[..., :need].reshape(B, C, rows_needed, hh)
+        return jnp.swapaxes(r[:, :, idx], 1, 2)  # (B, nb, C, rpb, hh)
+
+    rows = jnp.stack([rows_of(x[..., 0::2]), rows_of(x[..., 1::2])], axis=2)
+
+    # sub-DFT matrices: window folded in; odd stream pre-multiplied by the
+    # W^k = exp(-2*pi*i*k/n_fft) twiddle so the kernel butterfly is add/sub
+    win = get_window(window, n_fft).astype(np.float64)
+    m = np.arange(hf)
+    kk = np.arange(nfh)
+    base = np.exp(-2j * np.pi * np.outer(m, kk) / hf)
+    tw = np.exp(-1j * np.pi * kk / hf)
+    mats = []
+    for w_sub, t in ((win[0::2], None), (win[1::2], tw)):
+        dc = w_sub[:, None] * base
+        if t is not None:
+            dc = dc * t[None, :]
+        dr = np.concatenate([dc.real, dc.imag], axis=1).astype(np.float32)
+        p = np.zeros((n_parts, hh, 2 * nfh), np.float32)
+        for j in range(n_parts):
+            seg = dr[j * hh: min((j + 1) * hh, hf)]
+            p[j, : seg.shape[0]] = seg
+        mats.append(p)
+    parts = np.stack(mats, axis=0)  # (2, np, hh, 2*nfh)
+    if split3:
+        hi = parts.astype(jnp.bfloat16)
+        lo = (parts - np.asarray(hi, np.float32)).astype(jnp.bfloat16)
+        parts = np.stack([np.asarray(hi), np.asarray(lo)], axis=1)
+        # (2 stream, 2 hi/lo, np, hh, 2*nfh)
+
+    mel = mel_filterbank(sample_rate, n_fft, n_mels, fmin=20.0,
+                         fmax=sample_rate / 2.0, scale="htk", norm="slaney")
+    mel2 = np.zeros((2, nfh, n_mels), np.float32)
+    mel2[0] = mel[:nfh]
+    mel2[1, : nfh - 1] = mel[n_freqs - 1: nfh - 1: -1]  # bins N/2..nfh rev
+
+    dft_spec = (pl.BlockSpec((2, 2, n_parts, hh, 2 * nfh),
+                             lambda b, t: (0, 0, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+                if split3 else
+                pl.BlockSpec((2, n_parts, hh, 2 * nfh),
+                             lambda b, t: (0, 0, 0, 0),
+                             memory_space=pltpu.VMEM))
+    out = pl.pallas_call(
+        partial(_kernel_r2, nfh=nfh, n_ch=C, t_blk=t_blk, n_parts=n_parts,
+                precision=precision, split3=split3),
+        grid=(B, n_blocks),
+        in_specs=[
+            pl.BlockSpec((1, 1, 2, C, rows_per_block, hh),
+                         lambda b, t: (b, t, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            dft_spec,
+            pl.BlockSpec((2, nfh, n_mels), lambda b, t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 7, t_blk, n_mels), lambda b, t: (b, 0, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 7, t_pad, n_mels), jnp.float32),
+        interpret=interpret,
+    )(rows, jnp.asarray(parts), jnp.asarray(mel2))
     return out[:, :, :n_frames, :]

@@ -29,3 +29,19 @@ def test_fused_frontend_nondivisible_frames(rng):
     got = np.asarray(fused_logmel_iv(jnp.asarray(x), t_blk=128, interpret=True))
     assert got.shape == (1, 7, 1001, 64)
     np.testing.assert_allclose(got, ref, atol=5e-4)
+
+
+def test_fused_frontend_variants(rng):
+    """All four kernel configurations (flat/radix2 x f32/split3) agree with
+    the reference chain; split3 within its documented dB budget."""
+    x = rng.standard_normal((1, 4, 24000)).astype(np.float32) * 0.2
+    ref = np.asarray(LogmelIVExtractor(CFG)(jnp.asarray(x)))
+    for radix2 in (False, True):
+        for split3 in (False, True):
+            got = np.asarray(fused_logmel_iv(jnp.asarray(x), t_blk=32,
+                                             interpret=True, split3=split3,
+                                             radix2=radix2))
+            np.testing.assert_allclose(got[:, :4], ref[:, :4], atol=5e-3,
+                                       err_msg=f"r2={radix2} s3={split3}")
+            np.testing.assert_allclose(got[:, 4:], ref[:, 4:], atol=1e-4,
+                                       err_msg=f"r2={radix2} s3={split3}")
