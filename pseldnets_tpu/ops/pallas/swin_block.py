@@ -1,0 +1,194 @@
+"""Fused Swin transformer block as a single Pallas TPU kernel.
+
+Device profiling of the flax HTSAT forward (reference architecture,
+src/models/components/htsat.py:152-268) showed matmuls are ~5% of step time;
+the rest is HBM traffic from window-partition copies, LayerNorm/softmax
+convert+reduce fusions, and unfused elementwise chains. This kernel runs the
+ENTIRE block per image tile in VMEM:
+
+    LN1 -> (cyclic shift) -> window partition -> qkv -> per-head windowed
+    attention (+ relative-position bias, + shift mask) -> proj -> reverse
+    -> residual -> LN2 -> MLP (exact erf GELU) -> residual
+
+so the only HBM traffic per block is one read and one write of the token
+activations. Attention uses batched ``dot_general`` over windows (one MXU
+call per head per projection). Numerics: matmul operands in ``compute_dtype``
+with f32 accumulation; LayerNorm, softmax, and residual adds in f32 — the
+same contract as the flax bf16 path.
+"""
+
+from functools import partial
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .frontend import EPS_F32  # noqa: F401  (shared eps convention)
+
+Dtype = Any
+
+
+def _erf(x: jnp.ndarray) -> jnp.ndarray:
+    """Abramowitz-Stegun 7.1.26 rational erf (|err| < 1.5e-7); Mosaic has no
+    native erf/erfc lowering."""
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    s = jnp.sign(x)
+    z = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * z)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return s * (1.0 - poly * jnp.exp(-z * z))
+
+
+def _gelu_exact(x: jnp.ndarray) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    return (0.5 * xf * (1.0 + _erf(xf * np.float32(1 / np.sqrt(2))))).astype(x.dtype)
+
+
+def _ln(xf: jnp.ndarray, scale, bias) -> jnp.ndarray:
+    m = jnp.mean(xf, axis=-1, keepdims=True)
+    v = jnp.mean((xf - m) ** 2, axis=-1, keepdims=True)
+    return (xf - m) * jax.lax.rsqrt(v + 1e-5) * scale + bias
+
+
+def _block_kernel(x_ref, ln1s, ln1b, qkvw, qkvb, projw, projb, ln2s, ln2b,
+                  fc1w, fc1b, fc2w, fc2b, bias_ref, mask_ref, out_ref, *,
+                  H, W, C, nh, w, shift, hidden, has_mask, compute_dtype):
+    N = w * w
+    nW = (H // w) * (W // w)
+    hd = C // nh
+    scale = hd ** -0.5
+    cd = compute_dtype
+
+    x0 = x_ref[0].astype(jnp.float32)  # (L, C)
+
+    # LN1 + shift + window partition
+    h = _ln(x0, ln1s[0], ln1b[0]).astype(cd)
+    img = h.reshape(H, W, C)
+    if shift:
+        img = jnp.roll(img, shift=(-shift, -shift), axis=(0, 1))
+    win = img.reshape(H // w, w, W // w, w, C)
+    win = jnp.transpose(win, (0, 2, 1, 3, 4)).reshape(nW * N, C)
+
+    qkv = jnp.dot(win, qkvw[:].astype(cd),
+                  preferred_element_type=jnp.float32) + qkvb[0]
+    qkv = qkv.astype(cd)
+
+    heads = []
+    for hh in range(nh):
+        q = qkv[:, hh * hd:(hh + 1) * hd].reshape(nW, N, hd)
+        k = qkv[:, C + hh * hd: C + (hh + 1) * hd].reshape(nW, N, hd)
+        v = qkv[:, 2 * C + hh * hd: 2 * C + (hh + 1) * hd].reshape(nW, N, hd)
+        s = jax.lax.dot_general(q * jnp.asarray(scale, cd), k,
+                                (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        s = s + bias_ref[hh][None]
+        if has_mask:
+            s = s + mask_ref[:]
+        p = jax.nn.softmax(s, axis=-1).astype(cd)  # (nW, N, N)
+        o = jax.lax.dot_general(p, v, (((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        heads.append(o.reshape(nW * N, hd))
+    attn = jnp.concatenate(heads, axis=-1).astype(cd)  # (nW*N, C)
+
+    attn = jnp.dot(attn, projw[:].astype(cd),
+                   preferred_element_type=jnp.float32) + projb[0]
+
+    # window reverse + unshift + residual
+    img2 = attn.reshape(H // w, W // w, w, w, C)
+    img2 = jnp.transpose(img2, (0, 2, 1, 3, 4)).reshape(H, W, C)
+    if shift:
+        img2 = jnp.roll(img2, shift=(shift, shift), axis=(0, 1))
+    y = x0 + img2.reshape(H * W, C)
+
+    # LN2 + MLP (exact erf GELU, reference model_utilities.py:129-171)
+    h2 = _ln(y, ln2s[0], ln2b[0]).astype(cd)
+    f = jnp.dot(h2, fc1w[:].astype(cd),
+                preferred_element_type=jnp.float32) + fc1b[0]
+    f = _gelu_exact(f).astype(cd)
+    f = jnp.dot(f, fc2w[:].astype(cd),
+                preferred_element_type=jnp.float32) + fc2b[0]
+    out_ref[0] = (y + f).astype(out_ref.dtype)
+
+
+def _rel_bias(table: jnp.ndarray, w: int, nh: int) -> jnp.ndarray:
+    from ...models.htsat import relative_position_index
+
+    idx = relative_position_index(w).reshape(-1)
+    n = w * w
+    return table[idx].reshape(n, n, nh).transpose(2, 0, 1).astype(jnp.float32)
+
+
+def swin_block_fused(x: jnp.ndarray, p: Dict, *, H: int, W: int, nh: int,
+                     window: int, shift: int, compute_dtype=jnp.bfloat16,
+                     interpret: bool = False) -> jnp.ndarray:
+    """x (B, H*W, C) + the block's flax param subtree -> (B, H*W, C).
+
+    Equivalent to models.htsat.SwinTransformerBlock in eval mode (no adapters,
+    no dropout). ``shift`` and the window-size clamp must already follow the
+    reference rule (shift=0 and window=min(H,W) when min(H,W) <= window).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, L, C = x.shape
+    w = window
+    N = w * w
+    nW = (H // w) * (W // w)
+
+    def dense(d):  # AdaptDense wraps the plain Dense as 'base'
+        return d["base"] if "base" in d else d
+
+    qkv_p = dense(p["attn"]["qkv"])
+    proj_p = dense(p["attn"]["proj"])
+    fc1_p = dense(p["mlp"]["fc1"])
+    fc2_p = dense(p["mlp"]["fc2"])
+    hidden = fc1_p["kernel"].shape[1]
+
+    bias = _rel_bias(p["attn"]["relative_position_bias_table"], w, nh)
+    if shift > 0:
+        from ...models.htsat import shift_attn_mask
+
+        mask = jnp.asarray(shift_attn_mask(H, W, w, shift))  # (nW, N, N)
+        has_mask = True
+    else:
+        mask = jnp.zeros((1, N, N), jnp.float32)
+        has_mask = False
+
+    def v1(a):  # 1-D param -> (1, D) for 2-D VMEM layout
+        return jnp.asarray(a, jnp.float32).reshape(1, -1)
+
+    args = [
+        x,
+        v1(p["norm1"]["scale"]), v1(p["norm1"]["bias"]),
+        jnp.asarray(qkv_p["kernel"], jnp.float32), v1(qkv_p["bias"]),
+        jnp.asarray(proj_p["kernel"], jnp.float32), v1(proj_p["bias"]),
+        v1(p["norm2"]["scale"]), v1(p["norm2"]["bias"]),
+        jnp.asarray(fc1_p["kernel"], jnp.float32), v1(fc1_p["bias"]),
+        jnp.asarray(fc2_p["kernel"], jnp.float32), v1(fc2_p["bias"]),
+        bias, mask,
+    ]
+
+    const = lambda *shape: pl.BlockSpec(shape, lambda b: (0,) * len(shape),
+                                        memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, L, C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        const(1, C), const(1, C),
+        const(C, 3 * C), const(1, 3 * C),
+        const(C, C), const(1, C),
+        const(1, C), const(1, C),
+        const(C, hidden), const(1, hidden),
+        const(hidden, C), const(1, C),
+        const(nh, N, N), const(mask.shape[0], N, N),
+    ]
+    return pl.pallas_call(
+        partial(_block_kernel, H=H, W=W, C=C, nh=nh, w=w, shift=shift,
+                hidden=hidden, has_mask=has_mask, compute_dtype=compute_dtype),
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, L, C), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, L, C), x.dtype),
+        interpret=interpret,
+    )(*args)

@@ -1,0 +1,154 @@
+"""Fused-kernel HTSAT inference: the exact eval forward of models.heads.HTSAT
+(reference accdoa.py:107-246 / multi_accdoa.py:31-55) with every Swin block
+executed by the single-kernel Pallas block (ops.pallas.swin_block) instead of
+the ~20 XLA ops per block. Reads the SAME flax variables the training model
+uses — no weight conversion, pinned by tests/test_serving_fused.py.
+
+Scope: eval only, no adapters/LoRA (falls back to model.apply if present),
+10 s or 5 s clips (the reference's two supported shapes).
+"""
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import heads
+from ..models.common import _linear_upsample_matrix
+from ..ops.pallas.swin_block import swin_block_fused
+
+Dtype = Any
+
+
+def _scalar_bn(x: jnp.ndarray, params: Dict, stats: Dict) -> jnp.ndarray:
+    """ScalarBN eval: torch BatchNorm2d semantics, fused (C, F) layout
+    (models.common.ScalarBN / TorchBatchNorm, eps 1e-5)."""
+    w = params["bn"]["weight"][None, :, None, :]
+    b = params["bn"]["bias"][None, :, None, :]
+    m = stats["bn"]["running_mean"][None, :, None, :]
+    v = stats["bn"]["running_var"][None, :, None, :]
+    y = (x.astype(jnp.float32) - m) * jax.lax.rsqrt(v + 1e-5) * w + b
+    return y
+
+
+def _reshape_wav2img(x: jnp.ndarray, spec_size: int, freq_ratio: int) -> jnp.ndarray:
+    B, C, T, F = x.shape
+    target_T = spec_size * freq_ratio
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, target_T - T), (0, 0)))
+    x = jnp.transpose(x, (0, 1, 3, 2))
+    x = x.reshape(B, C, F, freq_ratio, target_T // freq_ratio)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4))
+    return x.reshape(B, C, freq_ratio * F, target_T // freq_ratio)
+
+
+def _ln(x: jnp.ndarray, p: Dict) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    m = jnp.mean(xf, axis=-1, keepdims=True)
+    v = jnp.mean((xf - m) ** 2, axis=-1, keepdims=True)
+    return ((xf - m) * jax.lax.rsqrt(v + 1e-5) * p["scale"] + p["bias"]).astype(x.dtype)
+
+
+def _dense_p(d: Dict) -> Dict:
+    return d["base"] if "base" in d else d
+
+
+def htsat_fused_forward(model: "heads.HTSAT", variables, x: jnp.ndarray,
+                        compute_dtype: Dtype = jnp.bfloat16,
+                        interpret: bool = False) -> Dict[str, jnp.ndarray]:
+    """Eval-mode forward equal to ``model.apply(variables, x, train=False)``."""
+    p = variables["params"]
+    stats = variables["batch_stats"]
+    kw = dict(model.encoder_kwargs)
+    spec_size = kw.get("spec_size", 256)
+    patch_stride = tuple(kw.get("patch_stride", (4, 4)))
+    embed_dim = kw.get("embed_dim", 96)
+    depths = tuple(kw.get("depths", (2, 2, 6, 2)))
+    num_heads = tuple(kw.get("num_heads", (4, 8, 16, 32)))
+    window = kw.get("window_size", 8)
+    num_layers = len(depths)
+    freq_ratio = spec_size // model.mel_bins
+    time_res = patch_stride[1] * 2 ** (num_layers - 1)
+    SF = spec_size // (2 ** (num_layers - 1)) // patch_stride[0] // freq_ratio
+
+    B, C, T, F = x.shape
+    output_frames = T // model.pred_res
+    five_sec = output_frames < model.tgt_output_frames
+    if five_sec:
+        x = jnp.concatenate([x[: B // 2, :, :-1], x[B // 2:, :, :-1]], axis=2)
+
+    x = _scalar_bn(x, p["scalar"], stats["scalar"]).astype(compute_dtype)
+    x = _reshape_wav2img(x, spec_size, freq_ratio)
+
+    # patch embed: conv 4x4/4 + LN (models.common.PatchEmbed)
+    pe = p["encoder"]["patch_embed"]
+    x = jnp.transpose(x, (0, 2, 3, 1))
+    kern = jnp.asarray(_dense_p(pe["proj"])["kernel"], compute_dtype)
+    patch_size = kw.get("patch_size", 4)
+    ph = (patch_size - patch_stride[0]) // 2
+    pw = (patch_size - patch_stride[1]) // 2
+    x = jax.lax.conv_general_dilated(
+        x, kern, window_strides=patch_stride, padding=((ph, ph), (pw, pw)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    x = (x + _dense_p(pe["proj"])["bias"]).astype(compute_dtype)
+    Bp, Hg, Wg, E = x.shape
+    x = x.reshape(Bp, Hg * Wg, E)
+    x = _ln(x, pe["norm"])
+
+    for i in range(num_layers):
+        Hi, Wi = Hg // (2 ** i), Wg // (2 ** i)
+        w_i, base_shift = (window, window // 2)
+        if min(Hi, Wi) <= window:
+            w_i, base_shift = min(Hi, Wi), 0
+        lp = p["encoder"][f"layers_{i}"]
+        for j in range(depths[i]):
+            shift = 0 if j % 2 == 0 else base_shift
+            x = swin_block_fused(
+                x, lp[f"blocks_{j}"], H=Hi, W=Wi, nh=num_heads[i],
+                window=w_i, shift=shift, compute_dtype=compute_dtype,
+                interpret=interpret)
+        if i < num_layers - 1:  # PatchMerging (models.htsat.PatchMerging)
+            dm = lp["downsample"]
+            v = x.reshape(Bp, Hi, Wi, -1)
+            v = jnp.concatenate([v[:, 0::2, 0::2], v[:, 1::2, 0::2],
+                                 v[:, 0::2, 1::2], v[:, 1::2, 1::2]], axis=-1)
+            v = v.reshape(Bp, (Hi // 2) * (Wi // 2), -1)
+            v = _ln(v, dm["norm"])
+            x = jnp.dot(v.astype(compute_dtype),
+                        jnp.asarray(_dense_p(dm["reduction"])["kernel"],
+                                    compute_dtype),
+                        preferred_element_type=jnp.float32).astype(compute_dtype)
+
+    x = _ln(x, p["encoder"]["norm"])
+
+    # finalize: token map with frequency unfolding (models.htsat.finalize)
+    Bp, N, Cf = x.shape
+    frames = spec_size
+    SFt = frames // (2 ** (num_layers - 1)) // patch_stride[0]
+    STt = frames // (2 ** (num_layers - 1)) // patch_stride[1]
+    x = jnp.transpose(x, (0, 2, 1)).reshape(Bp, Cf, SFt, STt)
+    c_freq_bin = SFt // freq_ratio
+    x = x.reshape(Bp, Cf, SFt // c_freq_bin, c_freq_bin, STt)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4)).reshape(Bp, Cf, c_freq_bin, -1)
+
+    # tscam conv head + bilinear interpolate + pooling (models.heads.HTSAT)
+    x = jnp.transpose(x, (0, 2, 3, 1)).astype(compute_dtype)
+    tk = jnp.asarray(p["tscam_conv"]["kernel"], compute_dtype)
+    x = jax.lax.conv_general_dilated(
+        x, tk, window_strides=(1, 1), padding=((0, 0), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    x = (x + p["tscam_conv"]["bias"]).astype(compute_dtype)
+    x = x.reshape(x.shape[0], -1, x.shape[-1])  # (B', ST, out)
+
+    m = jnp.asarray(_linear_upsample_matrix(x.shape[1], time_res), x.dtype)
+    x = jnp.einsum("st,btc->bsc", m, x, precision=jax.lax.Precision.HIGHEST)
+    x = x[:, : model.tgt_output_frames * model.pred_res]
+    if five_sec:
+        half = output_frames * model.pred_res
+        x = jnp.concatenate([x[:, :half], x[:, half:]], axis=0)
+    x = x.reshape(B, output_frames, model.pred_res, -1).mean(axis=2)
+    key = "accdoa" if model.num_tracks == 1 else "multi_accdoa"
+    del SF
+    return {key: jnp.tanh(x.astype(jnp.float32))}
