@@ -67,12 +67,16 @@ def main():
     base = jax.random.normal(jax.random.PRNGKey(42), (B, 4, 240000),
                              jnp.float32) * 0.1
 
+    from pseldnets_tpu.serving import htsat_fused_forward
+
     @jax.jit
     def step(variables, base, k):
         acc = jnp.float32(0)
         for i in range(K):
             wav = base * (1.0 + 1e-4 * (k * K + i)) + 1e-5 * (k * K + i)
-            out = model.apply(variables, extractor(wav), train=False)
+            # fused-kernel serving path (pallas Swin blocks): 2.4x the flax
+            # forward on-chip; parity pinned in tests/test_serving_fused.py
+            out = htsat_fused_forward(model, variables, extractor(wav))
             acc = acc + out["multi_accdoa"].astype(jnp.float32).mean()
         return acc
 
@@ -87,7 +91,7 @@ def main():
 
     one_min_clips_per_sec = (B / dt) / 6.0
     print(json.dumps({
-        "metric": "1min_FOA_clips/sec/chip (pallas split3 frontend + HTSAT mACCDOA fwd, bf16, B=128, 4 batches/dispatch)",
+        "metric": "1min_FOA_clips/sec/chip (pallas split3 frontend + fused-block HTSAT mACCDOA fwd, bf16, B=128, 4 batches/dispatch)",
         "value": round(one_min_clips_per_sec, 3),
         "unit": "clips/s",
         "vs_baseline": round(one_min_clips_per_sec / TARGET_CLIPS_PER_SEC, 4),

@@ -61,10 +61,11 @@ def _block_kernel(x_ref, ln1s, ln1b, qkvw, qkvb, projw, projb, ln2s, ln2b,
     scale = hd ** -0.5
     cd = compute_dtype
 
-    x0 = x_ref[0].astype(jnp.float32)  # (L, C)
+    x0 = x_ref[0].astype(cd)  # (L, C); residual adds stay in compute dtype
+    # exactly like the flax path (f32 only inside LN/softmax/accumulators)
 
     # LN1 + shift + window partition
-    h = _ln(x0, ln1s[0], ln1b[0]).astype(cd)
+    h = _ln(x0.astype(jnp.float32), ln1s[0], ln1b[0]).astype(cd)
     img = h.reshape(H, W, C)
     if shift:
         img = jnp.roll(img, shift=(-shift, -shift), axis=(0, 1))
@@ -92,8 +93,8 @@ def _block_kernel(x_ref, ln1s, ln1b, qkvw, qkvb, projw, projb, ln2s, ln2b,
         heads.append(o.reshape(nW * N, hd))
     attn = jnp.concatenate(heads, axis=-1).astype(cd)  # (nW*N, C)
 
-    attn = jnp.dot(attn, projw[:].astype(cd),
-                   preferred_element_type=jnp.float32) + projb[0]
+    attn = (jnp.dot(attn, projw[:].astype(cd),
+                    preferred_element_type=jnp.float32) + projb[0]).astype(cd)
 
     # window reverse + unshift + residual
     img2 = attn.reshape(H // w, W // w, w, w, C)
@@ -102,14 +103,21 @@ def _block_kernel(x_ref, ln1s, ln1b, qkvw, qkvb, projw, projb, ln2s, ln2b,
         img2 = jnp.roll(img2, shift=(shift, shift), axis=(0, 1))
     y = x0 + img2.reshape(H * W, C)
 
-    # LN2 + MLP (exact erf GELU, reference model_utilities.py:129-171)
-    h2 = _ln(y, ln2s[0], ln2b[0]).astype(cd)
-    f = jnp.dot(h2, fc1w[:].astype(cd),
-                preferred_element_type=jnp.float32) + fc1b[0]
-    f = _gelu_exact(f).astype(cd)
-    f = jnp.dot(f, fc2w[:].astype(cd),
-                preferred_element_type=jnp.float32) + fc2b[0]
-    out_ref[0] = (y + f).astype(out_ref.dtype)
+    # LN2 + MLP (exact erf GELU, reference model_utilities.py:129-171),
+    # chunked over row groups so the f32 hidden activations never hold the
+    # whole (L, hidden) buffer in VMEM at once
+    L = H * W
+    n_chunks = max(1, min(4, L // 512))
+    rows = L // n_chunks
+    for c in range(n_chunks):
+        yc = y[c * rows:(c + 1) * rows]
+        h2 = _ln(yc.astype(jnp.float32), ln2s[0], ln2b[0]).astype(cd)
+        f = jnp.dot(h2, fc1w[:].astype(cd),
+                    preferred_element_type=jnp.float32) + fc1b[0]
+        f = _gelu_exact(f).astype(cd)
+        f = (jnp.dot(f, fc2w[:].astype(cd),
+                     preferred_element_type=jnp.float32) + fc2b[0]).astype(cd)
+        out_ref[0, c * rows:(c + 1) * rows] = (yc + f).astype(out_ref.dtype)
 
 
 def _rel_bias(table: jnp.ndarray, w: int, nh: int) -> jnp.ndarray:
@@ -190,5 +198,9 @@ def swin_block_fused(x: jnp.ndarray, p: Dict, *, H: int, W: int, nh: int,
         out_specs=pl.BlockSpec((1, L, C), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, L, C), x.dtype),
+        # the big stage-0 tile (4096 tokens) peaks ~21 MB of live VMEM —
+        # above XLA's conservative 16 MB scoped default, well under the
+        # chip's 128 MB
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(*args)
