@@ -38,10 +38,10 @@ EPS_F32 = float(np.finfo(np.float32).eps)
 def _kernel(rows_ref, dft_ref, mel_ref, out_ref, spectra, *, n_freqs, n_ch,
             t_blk, n_parts, precision, split3):
     # batch all channels into one (C*T_BLK, hop) operand per shift — 4x the
-    # matmul M-dim keeps the MXU full instead of four skinny dots
+    # matmul M-dim keeps the MXU full instead of four skinny dots; the
+    # leading-dims merge is a free view, not a copy
     def shifted(slab, j):
-        return jnp.concatenate([slab[c, j:j + t_blk] for c in range(n_ch)],
-                               axis=0)
+        return slab[:, j:j + t_blk].reshape(n_ch * t_blk, slab.shape[-1])
 
     if split3:
         # hand-rolled bf16_3x (Mosaic has no Precision.HIGH). The DFT matrix
@@ -102,8 +102,8 @@ def _kernel_r2(rows_ref, dft_ref, mel_ref, out_ref, *, nfh, n_ch, t_blk,
     outputs are bit-identical transforms, not approximations).
     """
     def shifted(slab, j):
-        return jnp.concatenate([slab[c, j:j + t_blk] for c in range(n_ch)],
-                               axis=0)
+        return slab[:, j:j + t_blk].reshape(slab.shape[0] * t_blk,
+                                            slab.shape[-1])
 
     def chain(stream):
         slab = rows_ref[0, 0, stream]  # (C, rpb, half_hop)
@@ -250,6 +250,7 @@ def fused_logmel_iv(x: jnp.ndarray, *, n_fft: int = 1024, hop: int = 240,
         scratch_shapes=[
             pltpu.VMEM((2 * C, t_blk, n_freqs), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(rows, jnp.asarray(parts), mel)
     return out[:, :, :n_frames, :]
@@ -339,6 +340,7 @@ def _call_radix2(x, *, pl, pltpu, n_fft, hop, window, n_mels, sample_rate,
         out_specs=pl.BlockSpec((1, 7, t_blk, n_mels), lambda b, t: (b, 0, t, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, 7, t_pad, n_mels), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(rows, jnp.asarray(parts), jnp.asarray(mel2))
     return out[:, :, :n_frames, :]

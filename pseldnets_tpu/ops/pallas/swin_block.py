@@ -60,17 +60,18 @@ def _block_kernel(x_ref, ln1s, ln1b, qkvw, qkvb, projw, projb, ln2s, ln2b,
     hd = C // nh
     scale = hd ** -0.5
     cd = compute_dtype
+    G, L = x_ref.shape[0], H * W  # G images per grid cell
 
-    x0 = x_ref[0].astype(cd)  # (L, C); residual adds stay in compute dtype
+    x0 = x_ref[:].astype(cd)  # (G, L, C); residual adds stay in compute dtype
     # exactly like the flax path (f32 only inside LN/softmax/accumulators)
 
-    # LN1 + shift + window partition
+    # LN1 + shift + window partition (windows of all G images batch together)
     h = _ln(x0.astype(jnp.float32), ln1s[0], ln1b[0]).astype(cd)
-    img = h.reshape(H, W, C)
+    img = h.reshape(G, H, W, C)
     if shift:
-        img = jnp.roll(img, shift=(-shift, -shift), axis=(0, 1))
-    win = img.reshape(H // w, w, W // w, w, C)
-    win = jnp.transpose(win, (0, 2, 1, 3, 4)).reshape(nW * N, C)
+        img = jnp.roll(img, shift=(-shift, -shift), axis=(1, 2))
+    win = img.reshape(G, H // w, w, W // w, w, C)
+    win = jnp.transpose(win, (0, 1, 3, 2, 4, 5)).reshape(G * nW * N, C)
 
     qkv = jnp.dot(win, qkvw[:].astype(cd),
                   preferred_element_type=jnp.float32) + qkvb[0]
@@ -78,37 +79,37 @@ def _block_kernel(x_ref, ln1s, ln1b, qkvw, qkvb, projw, projb, ln2s, ln2b,
 
     heads = []
     for hh in range(nh):
-        q = qkv[:, hh * hd:(hh + 1) * hd].reshape(nW, N, hd)
-        k = qkv[:, C + hh * hd: C + (hh + 1) * hd].reshape(nW, N, hd)
-        v = qkv[:, 2 * C + hh * hd: 2 * C + (hh + 1) * hd].reshape(nW, N, hd)
+        q = qkv[:, hh * hd:(hh + 1) * hd].reshape(G * nW, N, hd)
+        k = qkv[:, C + hh * hd: C + (hh + 1) * hd].reshape(G * nW, N, hd)
+        v = qkv[:, 2 * C + hh * hd: 2 * C + (hh + 1) * hd].reshape(G * nW, N, hd)
         s = jax.lax.dot_general(q * jnp.asarray(scale, cd), k,
                                 (((2,), (2,)), ((0,), (0,))),
                                 preferred_element_type=jnp.float32)
         s = s + bias_ref[hh][None]
         if has_mask:
-            s = s + mask_ref[:]
-        p = jax.nn.softmax(s, axis=-1).astype(cd)  # (nW, N, N)
+            s = (s.reshape(G, nW, N, N) + mask_ref[:][None]).reshape(G * nW, N, N)
+        p = jax.nn.softmax(s, axis=-1).astype(cd)  # (G*nW, N, N)
         o = jax.lax.dot_general(p, v, (((2,), (1,)), ((0,), (0,))),
                                 preferred_element_type=jnp.float32)
-        heads.append(o.reshape(nW * N, hd))
-    attn = jnp.concatenate(heads, axis=-1).astype(cd)  # (nW*N, C)
+        heads.append(o.reshape(G * nW * N, hd))
+    attn = jnp.concatenate(heads, axis=-1).astype(cd)  # (G*nW*N, C)
 
     attn = (jnp.dot(attn, projw[:].astype(cd),
                     preferred_element_type=jnp.float32) + projb[0]).astype(cd)
 
     # window reverse + unshift + residual
-    img2 = attn.reshape(H // w, W // w, w, w, C)
-    img2 = jnp.transpose(img2, (0, 2, 1, 3, 4)).reshape(H, W, C)
+    img2 = attn.reshape(G, H // w, W // w, w, w, C)
+    img2 = jnp.transpose(img2, (0, 1, 3, 2, 4, 5)).reshape(G, H, W, C)
     if shift:
-        img2 = jnp.roll(img2, shift=(shift, shift), axis=(0, 1))
-    y = x0 + img2.reshape(H * W, C)
+        img2 = jnp.roll(img2, shift=(shift, shift), axis=(1, 2))
+    y = (x0 + img2.reshape(G, L, C)).reshape(G * L, C)
 
     # LN2 + MLP (exact erf GELU, reference model_utilities.py:129-171),
     # chunked over row groups so the f32 hidden activations never hold the
-    # whole (L, hidden) buffer in VMEM at once
-    L = H * W
-    n_chunks = max(1, min(4, L // 512))
-    rows = L // n_chunks
+    # whole (G*L, hidden) buffer in VMEM at once
+    n_chunks = max(1, min(4, (G * L) // 512))
+    rows = (G * L) // n_chunks
+    outs = []
     for c in range(n_chunks):
         yc = y[c * rows:(c + 1) * rows]
         h2 = _ln(yc.astype(jnp.float32), ln2s[0], ln2b[0]).astype(cd)
@@ -117,7 +118,8 @@ def _block_kernel(x_ref, ln1s, ln1b, qkvw, qkvb, projw, projb, ln2s, ln2b,
         f = _gelu_exact(f).astype(cd)
         f = (jnp.dot(f, fc2w[:].astype(cd),
                      preferred_element_type=jnp.float32) + fc2b[0]).astype(cd)
-        out_ref[0, c * rows:(c + 1) * rows] = (yc + f).astype(out_ref.dtype)
+        outs.append((yc + f).astype(out_ref.dtype))
+    out_ref[:] = jnp.concatenate(outs, axis=0).reshape(G, L, C)
 
 
 def _rel_bias(table: jnp.ndarray, w: int, nh: int) -> jnp.ndarray:
@@ -130,12 +132,16 @@ def _rel_bias(table: jnp.ndarray, w: int, nh: int) -> jnp.ndarray:
 
 def swin_block_fused(x: jnp.ndarray, p: Dict, *, H: int, W: int, nh: int,
                      window: int, shift: int, compute_dtype=jnp.bfloat16,
-                     interpret: bool = False) -> jnp.ndarray:
+                     group: int = 0, interpret: bool = False) -> jnp.ndarray:
     """x (B, H*W, C) + the block's flax param subtree -> (B, H*W, C).
 
     Equivalent to models.htsat.SwinTransformerBlock in eval mode (no adapters,
     no dropout). ``shift`` and the window-size clamp must already follow the
     reference rule (shift=0 and window=min(H,W) when min(H,W) <= window).
+
+    ``group`` = images per grid cell (0 = auto). Grid-cell dispatch has a
+    fixed ~30 us overhead on v5e, so small late-stage tiles are batched up to
+    a ~8k-token payload per cell.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -144,6 +150,10 @@ def swin_block_fused(x: jnp.ndarray, p: Dict, *, H: int, W: int, nh: int,
     w = window
     N = w * w
     nW = (H // w) * (W // w)
+
+    G = group or max(1, (8192 * 96) // (L * C))
+    while B % G:
+        G -= 1
 
     def dense(d):  # AdaptDense wraps the plain Dense as 'base'
         return d["base"] if "base" in d else d
@@ -181,7 +191,7 @@ def swin_block_fused(x: jnp.ndarray, p: Dict, *, H: int, W: int, nh: int,
     const = lambda *shape: pl.BlockSpec(shape, lambda b: (0,) * len(shape),
                                         memory_space=pltpu.VMEM)
     in_specs = [
-        pl.BlockSpec((1, L, C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((G, L, C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         const(1, C), const(1, C),
         const(C, 3 * C), const(1, 3 * C),
         const(C, C), const(1, C),
@@ -193,9 +203,9 @@ def swin_block_fused(x: jnp.ndarray, p: Dict, *, H: int, W: int, nh: int,
     return pl.pallas_call(
         partial(_block_kernel, H=H, W=W, C=C, nh=nh, w=w, shift=shift,
                 hidden=hidden, has_mask=has_mask, compute_dtype=compute_dtype),
-        grid=(B,),
+        grid=(B // G,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, L, C), lambda b: (b, 0, 0),
+        out_specs=pl.BlockSpec((G, L, C), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, L, C), x.dtype),
         # the big stage-0 tile (4096 tokens) peaks ~21 MB of live VMEM —
