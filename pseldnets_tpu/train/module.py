@@ -239,11 +239,26 @@ class SELDTask:
         return jax.jit(train_step, donate_argnums=(0,))
 
     def _make_eval_step(self):
+        from ..models import heads
+
+        # On TPU, plain (no-adapter) HTSAT inference routes through the
+        # fused-block serving engine (serving/htsat.py): 2.4x the flax
+        # forward on-chip, parity pinned in tests/test_serving_fused.py.
+        use_fused = (jax.default_backend() == "tpu"
+                     and isinstance(self.model, heads.HTSAT)
+                     and self.model.adapt.method in ("none", "mono_finetune")
+                     and self.mesh.size == 1)  # pallas under pjit untested
+
         def eval_step(params, batch_stats, batch_x):
             feats = self._forward_features(batch_x)
             variables = {"params": params}
             if batch_stats:
                 variables["batch_stats"] = batch_stats
+            if use_fused:
+                from ..serving import htsat_fused_forward
+
+                return htsat_fused_forward(self.model, variables, feats,
+                                           compute_dtype=self.model.dtype)
             return self.model.apply(variables, feats, train=False)
 
         return jax.jit(eval_step)
