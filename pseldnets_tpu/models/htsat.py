@@ -215,12 +215,17 @@ class BasicLayer(nn.Module):
     attn_drop: float = 0.0
     drop_path_rates: Sequence[float] = ()
     downsample: bool = False
+    use_checkpoint: bool = False
     adapt: AdaptConfig = NO_ADAPT
     dtype: Dtype = jnp.float32
 
     def setup(self):
+        # rematerialize block activations in the backward pass when asked —
+        # the reference's use_checkpoint flag (htsat.py:333-345,367-368)
+        block_cls = (nn.remat(SwinTransformerBlock, static_argnums=(2,))
+                     if self.use_checkpoint else SwinTransformerBlock)
         self.blocks = [
-            SwinTransformerBlock(
+            block_cls(
                 dim=self.dim, input_resolution=self.input_resolution,
                 num_heads=self.num_heads, window_size=self.window_size,
                 shift_size=0 if i % 2 == 0 else self.window_size // 2,
@@ -270,6 +275,7 @@ class HTSATEncoder(nn.Module):
     mel_bins: int = 64
     drop_path_rate: float = 0.1
     ape: bool = False
+    use_checkpoint: bool = False
     patch_norm: bool = True
     norm_before_mlp: str = "ln"
     adapt: AdaptConfig = NO_ADAPT
@@ -320,7 +326,8 @@ class HTSATEncoder(nn.Module):
                 qkv_bias=self.qkv_bias, drop=self.drop_rate,
                 attn_drop=self.attn_drop_rate,
                 drop_path_rates=tuple(dpr[sum(self.depths[:i]):sum(self.depths[:i + 1])]),
-                downsample=(i < self.num_layers - 1), adapt=self.adapt,
+                downsample=(i < self.num_layers - 1),
+                use_checkpoint=self.use_checkpoint, adapt=self.adapt,
                 dtype=self.dtype, name=f"layers_{i}"))
         self.layers = layers
         self.norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)

@@ -151,3 +151,33 @@ def test_factory_builds_all():
         cfg = compose(cfg_dir, "train", overrides)
         model, meta = build_model(cfg, num_classes=13)
         assert meta["backbone"] == expect
+
+
+def test_htsat_use_checkpoint_grads_match(rng):
+    """use_checkpoint (reference htsat.py:333-345) rematerializes activations;
+    outputs and grads must be identical to the uncheckpointed forward."""
+    from pseldnets_tpu.models.htsat import HTSATEncoder
+
+    def build(ck):
+        return HTSATEncoder(in_chans=7, mel_bins=16, spec_size=64,
+                            patch_size=4, patch_stride=(4, 4), embed_dim=8,
+                            depths=(1, 1), num_heads=(2, 4), window_size=4,
+                            mlp_ratio=2.0, drop_path_rate=0.0,
+                            use_checkpoint=ck)
+    x = jnp.asarray(rng.standard_normal((2, 7, 241, 16)).astype(np.float32))
+    enc0, enc1 = build(False), build(True)
+    v = enc0.init(jax.random.PRNGKey(0), x)
+
+    def loss(m, v):
+        return lambda p: jnp.sum(m.apply({"params": p}, x) ** 2)
+
+    o0, g0 = jax.value_and_grad(loss(enc0, v))(v["params"])
+    o1, g1 = jax.value_and_grad(loss(enc1, v))(v["params"])
+    assert np.allclose(float(o0), float(o1), rtol=1e-6)
+    import flax
+
+    f0 = flax.traverse_util.flatten_dict(g0)
+    f1 = flax.traverse_util.flatten_dict(g1)
+    for k in f0:
+        np.testing.assert_allclose(np.asarray(f0[k]), np.asarray(f1[k]),
+                                   rtol=1e-5, atol=1e-6)
