@@ -35,8 +35,15 @@ from ..windows import get_window
 EPS_F32 = float(np.finfo(np.float32).eps)
 
 
-def _kernel(rows_ref, dft_ref, mel_ref, out_ref, spectra, *, n_freqs, n_ch,
-            t_blk, n_parts, precision, split3):
+def _kernel(rows_main, rows_bnd, dft_ref, mel_ref, out_ref, spectra, *,
+            n_freqs, n_ch, t_blk, n_parts, precision, split3):
+    # The t_blk main rows and the n_parts-1 boundary rows arrive as two
+    # blocks of the SAME un-duplicated HBM array (boundary offsets are
+    # multiples of the boundary block height), so the host never
+    # materializes the ~4x-duplicated slab tensor.
+    bnd = n_parts - 1
+    slab_full = jnp.concatenate([rows_main[0], rows_bnd[0][:, :bnd]], axis=1)
+
     # batch all channels into one (C*T_BLK, hop) operand per shift — 4x the
     # matmul M-dim keeps the MXU full instead of four skinny dots; the
     # leading-dims merge is a free view, not a copy
@@ -48,7 +55,7 @@ def _kernel(rows_ref, dft_ref, mel_ref, out_ref, spectra, *, n_freqs, n_ch,
         # arrives pre-split into bf16 hi/lo planes (host-side, bit-identical
         # to splitting here), and the row slab is split once per grid cell —
         # boundary rows would otherwise be re-converted for every shift j.
-        slab = rows_ref[0, 0]  # (C, rpb, hop) f32
+        slab = slab_full  # (C, rpb, hop) f32
         slab_hi = slab.astype(jnp.bfloat16)
         slab_lo = (slab - slab_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         spec = None
@@ -60,7 +67,7 @@ def _kernel(rows_ref, dft_ref, mel_ref, out_ref, spectra, *, n_freqs, n_ch,
                  + jnp.dot(a_lo, dft_ref[0, j], preferred_element_type=jnp.float32))
             spec = s if spec is None else spec + s
     else:
-        slab = rows_ref[0, 0]
+        slab = slab_full
         spec = None
         for j in range(n_parts):
             s = jnp.dot(shifted(slab, j), dft_ref[j], precision=precision,
@@ -200,18 +207,17 @@ def fused_logmel_iv(x: jnp.ndarray, *, n_fft: int = 1024, hop: int = 240,
                             t_pad=t_pad, n_blocks=n_blocks)
 
     n_parts = n_fft // hop + (1 if n_fft % hop else 0)
+    bnd = n_parts - 1
+    bnd_blk = -(-bnd // 8) * 8  # sublane-aligned boundary block height
+    assert bnd >= 1 and t_blk % 8 == 0, (t_blk, n_parts)
 
-    # hop-length rows; each block needs t_blk + n_parts - 1 of them
+    # hop-length rows, un-duplicated: each grid cell reads its t_blk main
+    # rows plus bnd boundary rows as two blocks of the same array
     x = jnp.pad(x, ((0, 0), (0, 0), (n_fft // 2, n_fft // 2)), mode="reflect")
-    rows_per_block = t_blk + n_parts - 1
-    rows_needed = (n_blocks - 1) * t_blk + rows_per_block
-    need = rows_needed * hop
+    rows_total = n_blocks * t_blk + bnd_blk
+    need = rows_total * hop
     x = jnp.pad(x, ((0, 0), (0, 0), (0, max(0, need - x.shape[-1]))))
-    rows = x[..., :need].reshape(B, C, rows_needed, hop)
-    # per-block row slabs (n_parts-1 boundary rows duplicated per block)
-    idx = (np.arange(n_blocks)[:, None] * t_blk
-           + np.arange(rows_per_block)[None, :])
-    rows = jnp.swapaxes(rows[:, :, idx], 1, 2)  # (B, n_blocks, C, rpb, hop)
+    rows = x[..., :need].reshape(B, C, rows_total, hop)
 
     win = get_window(window, n_fft)
     wcos, wsin = dft_matrices(n_fft, win)
@@ -233,8 +239,10 @@ def fused_logmel_iv(x: jnp.ndarray, *, n_fft: int = 1024, hop: int = 240,
                 n_parts=n_parts, precision=precision, split3=split3),
         grid=(B, n_blocks),
         in_specs=[
-            pl.BlockSpec((1, 1, C, rows_per_block, hop),
-                         lambda b, t: (b, t, 0, 0, 0),
+            pl.BlockSpec((1, C, t_blk, hop), lambda b, t: (b, 0, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, bnd_blk, hop),
+                         lambda b, t: (b, 0, (t + 1) * (t_blk // bnd_blk), 0),
                          memory_space=pltpu.VMEM),
             (pl.BlockSpec((2, n_parts, hop, 2 * n_freqs),
                           lambda b, t: (0, 0, 0, 0), memory_space=pltpu.VMEM)
@@ -252,7 +260,7 @@ def fused_logmel_iv(x: jnp.ndarray, *, n_fft: int = 1024, hop: int = 240,
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(rows, jnp.asarray(parts), mel)
+    )(rows, rows, jnp.asarray(parts), mel)
     return out[:, :, :n_frames, :]
 
 
