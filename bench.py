@@ -57,7 +57,7 @@ def main():
     # per-dispatch relay round-trip doesn't masquerade as device time (a
     # production host dispatches over PCIe at ~10 us).
     B = 128  # 10-second clips per batch
-    K = 4    # batches per dispatch
+    K = 16   # batches per dispatch
     rng = jax.random.PRNGKey(0)
     feats = extractor(jnp.zeros((2, 4, 240000), jnp.float32))
     # jit the init: eager flax init dispatches thousands of individual ops,
@@ -91,7 +91,7 @@ def main():
 
     one_min_clips_per_sec = (B / dt) / 6.0
     print(json.dumps({
-        "metric": "1min_FOA_clips/sec/chip (pallas split3 frontend + fused-block HTSAT mACCDOA fwd, bf16, B=128, 4 batches/dispatch)",
+        "metric": "1min_FOA_clips/sec/chip (pallas split3 frontend + fused-block HTSAT mACCDOA fwd, bf16, B=128, 16 batches/dispatch)",
         "value": round(one_min_clips_per_sec, 3),
         "unit": "clips/s",
         "vs_baseline": round(one_min_clips_per_sec / TARGET_CLIPS_PER_SEC, 4),
