@@ -60,9 +60,10 @@ def _ln(xf: jnp.ndarray, scale, bias) -> jnp.ndarray:
     return (xf - m) * jax.lax.rsqrt(v + 1e-5) * scale + bias
 
 
-def _block_kernel(x_ref, ln1s, ln1b, qkvw, qkvb, projw, projb, ln2s, ln2b,
-                  fc1w, fc1b, fc2w, fc2b, bias_ref, mask_ref, out_ref, *,
-                  H, W, C, nh, w, shift, hidden, has_mask, compute_dtype):
+def _block_kernel(x_ref, dp_ref, ln1s, ln1b, qkvw, qkvb, projw, projb,
+                  ln2s, ln2b, fc1w, fc1b, fc2w, fc2b, bias_ref, mask_ref,
+                  out_ref, *, H, W, C, nh, w, shift, hidden, has_mask,
+                  compute_dtype):
     N = w * w
     nW = (H // w) * (W // w)
     hd = C // nh
@@ -110,7 +111,16 @@ def _block_kernel(x_ref, ln1s, ln1b, qkvw, qkvb, projw, projb, ln2s, ln2b,
     img2 = jnp.transpose(img2, (0, 1, 3, 2, 4, 5)).reshape(G, H, W, C)
     if shift:
         img2 = jnp.roll(img2, shift=(shift, shift), axis=(1, 2))
-    y = (x0 + img2.reshape(G, L, C)).reshape(G * L, C)
+    # per-sample drop-path masks (1 at eval; 0 or 1/keep at train —
+    # reference model_utilities.py:216-231); the full (B, 2) array lives in
+    # SMEM (tiny) and is indexed by grid position
+    from jax.experimental import pallas as pl
+
+    base = pl.program_id(0) * G
+    m0 = jnp.stack([dp_ref[base + g, 0] for g in range(G)]).astype(cd)
+    m1 = jnp.stack([dp_ref[base + g, 1] for g in range(G)]).astype(cd)
+    m1_rows = jnp.broadcast_to(m1[:, None, None], (G, L, 1)).reshape(G * L, 1)
+    y = (x0 + m0[:, None, None] * img2.reshape(G, L, C)).reshape(G * L, C)
 
     # LN2 + MLP (exact erf GELU, reference model_utilities.py:129-171),
     # chunked over row groups so the f32 hidden activations never hold the
@@ -126,7 +136,8 @@ def _block_kernel(x_ref, ln1s, ln1b, qkvw, qkvb, projw, projb, ln2s, ln2b,
         f = _gelu_exact(f, fast=(cd == jnp.bfloat16)).astype(cd)
         f = (jnp.dot(f, fc2w[:].astype(cd),
                      preferred_element_type=jnp.float32) + fc2b[0]).astype(cd)
-        outs.append((yc + f).astype(out_ref.dtype))
+        outs.append((yc + m1_rows[c * rows:(c + 1) * rows] * f)
+                    .astype(out_ref.dtype))
     out_ref[:] = jnp.concatenate(outs, axis=0).reshape(G, L, C)
 
 
@@ -140,7 +151,8 @@ def _rel_bias(table: jnp.ndarray, w: int, nh: int) -> jnp.ndarray:
 
 def swin_block_fused(x: jnp.ndarray, p: Dict, *, H: int, W: int, nh: int,
                      window: int, shift: int, compute_dtype=jnp.bfloat16,
-                     group: int = 0, interpret: bool = False) -> jnp.ndarray:
+                     group: int = 0, dp_masks=None,
+                     interpret: bool = False) -> jnp.ndarray:
     """x (B, H*W, C) + the block's flax param subtree -> (B, H*W, C).
 
     Equivalent to models.htsat.SwinTransformerBlock in eval mode (no adapters,
@@ -185,8 +197,11 @@ def swin_block_fused(x: jnp.ndarray, p: Dict, *, H: int, W: int, nh: int,
     def v1(a):  # 1-D param -> (1, D) for 2-D VMEM layout
         return jnp.asarray(a, jnp.float32).reshape(1, -1)
 
+    if dp_masks is None:
+        dp_masks = jnp.ones((B, 2), jnp.float32)
+
     args = [
-        x,
+        x, dp_masks,
         v1(p["norm1"]["scale"]), v1(p["norm1"]["bias"]),
         jnp.asarray(qkv_p["kernel"], jnp.float32), v1(qkv_p["bias"]),
         jnp.asarray(proj_p["kernel"], jnp.float32), v1(proj_p["bias"]),
@@ -200,6 +215,7 @@ def swin_block_fused(x: jnp.ndarray, p: Dict, *, H: int, W: int, nh: int,
                                         memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec((G, L, C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((B, 2), lambda b: (0, 0), memory_space=pltpu.SMEM),
         const(1, C), const(1, C),
         const(C, 3 * C), const(1, 3 * C),
         const(C, C), const(1, C),
