@@ -63,7 +63,7 @@ def _ln(xf: jnp.ndarray, scale, bias) -> jnp.ndarray:
 def _block_kernel(x_ref, dp_ref, ln1s, ln1b, qkvw, qkvb, projw, projb,
                   ln2s, ln2b, fc1w, fc1b, fc2w, fc2b, bias_ref, mask_ref,
                   out_ref, *, H, W, C, nh, w, shift, hidden, has_mask,
-                  compute_dtype):
+                  has_dp, compute_dtype):
     N = w * w
     nW = (H // w) * (W // w)
     hd = C // nh
@@ -111,33 +111,48 @@ def _block_kernel(x_ref, dp_ref, ln1s, ln1b, qkvw, qkvb, projw, projb,
     img2 = jnp.transpose(img2, (0, 1, 3, 2, 4, 5)).reshape(G, H, W, C)
     if shift:
         img2 = jnp.roll(img2, shift=(shift, shift), axis=(1, 2))
-    # per-sample drop-path masks (1 at eval; 0 or 1/keep at train —
-    # reference model_utilities.py:216-231); the full (B, 2) array lives in
-    # SMEM (tiny) and is indexed by grid position
+    # per-sample drop-path masks (1 at eval — path skipped entirely;
+    # 0 or 1/keep at train, reference model_utilities.py:216-231). The full
+    # (B, 2) mask array lives in SMEM, indexed by grid position; Mosaic only
+    # supports SCALAR use of SMEM reads, so the masked path multiplies each
+    # image slice by its scalar instead of building a mask vector.
     from jax.experimental import pallas as pl
 
     base = pl.program_id(0) * G
-    m0 = jnp.stack([dp_ref[base + g, 0] for g in range(G)]).astype(cd)
-    m1 = jnp.stack([dp_ref[base + g, 1] for g in range(G)]).astype(cd)
-    m1_rows = jnp.broadcast_to(m1[:, None, None], (G, L, 1)).reshape(G * L, 1)
-    y = (x0 + m0[:, None, None] * img2.reshape(G, L, C)).reshape(G * L, C)
+    img2 = img2.reshape(G, L, C)
+    if has_dp:
+        y = jnp.stack([x0[g] + dp_ref[base + g, 0].astype(cd) * img2[g]
+                       for g in range(G)]).reshape(G * L, C)
+    else:
+        y = (x0 + img2).reshape(G * L, C)
 
-    # LN2 + MLP (exact erf GELU, reference model_utilities.py:129-171),
-    # chunked over row groups so the f32 hidden activations never hold the
-    # whole (G*L, hidden) buffer in VMEM at once
-    n_chunks = max(1, min(4, (G * L) // 512))
-    rows = (G * L) // n_chunks
-    outs = []
-    for c in range(n_chunks):
-        yc = y[c * rows:(c + 1) * rows]
+    def mlp(yc):
         h2 = _ln(yc.astype(jnp.float32), ln2s[0], ln2b[0]).astype(cd)
         f = jnp.dot(h2, fc1w[:].astype(cd),
                     preferred_element_type=jnp.float32) + fc1b[0]
         f = _gelu_exact(f, fast=(cd == jnp.bfloat16)).astype(cd)
-        f = (jnp.dot(f, fc2w[:].astype(cd),
-                     preferred_element_type=jnp.float32) + fc2b[0]).astype(cd)
-        outs.append((yc + m1_rows[c * rows:(c + 1) * rows] * f)
-                    .astype(out_ref.dtype))
+        return (jnp.dot(f, fc2w[:].astype(cd),
+                        preferred_element_type=jnp.float32)
+                + fc2b[0]).astype(cd)
+
+    # LN2 + MLP (exact erf GELU, reference model_utilities.py:129-171),
+    # chunked over row groups so the f32 hidden activations never hold the
+    # whole (G*L, hidden) buffer in VMEM at once
+    outs = []
+    if has_dp:
+        n_chunks = max(1, min(4, L // 512))
+        rows = L // n_chunks
+        for g in range(G):
+            m1g = dp_ref[base + g, 1].astype(cd)
+            for c in range(n_chunks):
+                yc = y[g * L + c * rows: g * L + (c + 1) * rows]
+                outs.append((yc + m1g * mlp(yc)).astype(out_ref.dtype))
+    else:
+        n_chunks = max(1, min(4, (G * L) // 512))
+        rows = (G * L) // n_chunks
+        for c in range(n_chunks):
+            yc = y[c * rows:(c + 1) * rows]
+            outs.append((yc + mlp(yc)).astype(out_ref.dtype))
     out_ref[:] = jnp.concatenate(outs, axis=0).reshape(G, L, C)
 
 
@@ -197,6 +212,7 @@ def swin_block_fused(x: jnp.ndarray, p: Dict, *, H: int, W: int, nh: int,
     def v1(a):  # 1-D param -> (1, D) for 2-D VMEM layout
         return jnp.asarray(a, jnp.float32).reshape(1, -1)
 
+    has_dp = dp_masks is not None
     if dp_masks is None:
         dp_masks = jnp.ones((B, 2), jnp.float32)
 
@@ -226,7 +242,8 @@ def swin_block_fused(x: jnp.ndarray, p: Dict, *, H: int, W: int, nh: int,
     ]
     return pl.pallas_call(
         partial(_block_kernel, H=H, W=W, C=C, nh=nh, w=w, shift=shift,
-                hidden=hidden, has_mask=has_mask, compute_dtype=compute_dtype),
+                hidden=hidden, has_mask=has_mask, has_dp=has_dp,
+                compute_dtype=compute_dtype),
         grid=(B // G,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((G, L, C), lambda b: (b, 0, 0),
