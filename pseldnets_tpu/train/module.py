@@ -244,10 +244,12 @@ class SELDTask:
         # On TPU, plain (no-adapter) HTSAT inference routes through the
         # fused-block serving engine (serving/htsat.py): 2.4x the flax
         # forward on-chip, parity pinned in tests/test_serving_fused.py.
+        # Multi-chip: shard_map runs the pallas grid per device shard (the
+        # 5s-clip pairing becomes shard-local, same semantics as the
+        # reference's per-GPU DDP batches).
         use_fused = (jax.default_backend() == "tpu"
                      and isinstance(self.model, heads.HTSAT)
-                     and self.model.adapt.method in ("none", "mono_finetune")
-                     and self.mesh.size == 1)  # pallas under pjit untested
+                     and self.model.adapt.method in ("none", "mono_finetune"))
 
         def eval_step(params, batch_stats, batch_x):
             feats = self._forward_features(batch_x)
@@ -257,8 +259,16 @@ class SELDTask:
             if use_fused:
                 from ..serving import htsat_fused_forward
 
-                return htsat_fused_forward(self.model, variables, feats,
-                                           compute_dtype=self.model.dtype)
+                fwd = lambda v, f: htsat_fused_forward(  # noqa: E731
+                    self.model, v, f, compute_dtype=self.model.dtype)
+                if self.mesh.size > 1:
+                    from jax.experimental.shard_map import shard_map
+                    from jax.sharding import PartitionSpec as P
+
+                    fwd = shard_map(fwd, mesh=self.mesh,
+                                    in_specs=(P(), P("data")),
+                                    out_specs=P("data"), check_rep=False)
+                return fwd(variables, feats)
             return self.model.apply(variables, feats, train=False)
 
         return jax.jit(eval_step)

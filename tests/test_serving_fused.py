@@ -62,3 +62,26 @@ def test_htsat_fused_forward_5s_trick(rng):
                                          interpret=True)["accdoa"])
     assert got.shape == ref.shape
     assert np.abs(got - ref).max() < 5e-5, np.abs(got - ref).max()
+
+
+def test_htsat_fused_forward_shard_map(rng):
+    """Multi-chip serving: shard_map over an 8-device mesh runs the fused
+    forward per shard and matches the single-device result."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    model = _tiny_model()
+    x = jnp.asarray(rng.standard_normal((8, 7, 241, 16)).astype(np.float32) * 0.5)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+
+    single = np.asarray(htsat_fused_forward(model, variables, x,
+                                            compute_dtype=jnp.float32,
+                                            interpret=True)["multi_accdoa"])
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    fwd = lambda v, f: htsat_fused_forward(  # noqa: E731
+        model, v, f, compute_dtype=jnp.float32, interpret=True)
+    sharded = shard_map(fwd, mesh=mesh, in_specs=(P(), P("data")),
+                        out_specs=P("data"), check_rep=False)
+    out = np.asarray(sharded(variables, x)["multi_accdoa"])
+    np.testing.assert_allclose(out, single, atol=1e-5)
