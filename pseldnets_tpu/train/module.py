@@ -262,7 +262,7 @@ class SELDTask:
                 fwd = lambda v, f: htsat_fused_forward(  # noqa: E731
                     self.model, v, f, compute_dtype=self.model.dtype)
                 if self.mesh.size > 1:
-                    from jax.experimental.shard_map import shard_map
+                    from jax import shard_map
                     from jax.sharding import PartitionSpec as P
 
                     fwd = shard_map(fwd, mesh=self.mesh,

@@ -67,7 +67,7 @@ def test_htsat_fused_forward_5s_trick(rng):
 def test_htsat_fused_forward_shard_map(rng):
     """Multi-chip serving: shard_map over an 8-device mesh runs the fused
     forward per shard and matches the single-device result."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import Mesh, PartitionSpec as P
 
     model = _tiny_model()
