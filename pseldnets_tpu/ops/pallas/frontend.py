@@ -96,8 +96,8 @@ def _kernel(rows_main, rows_bnd, dft_ref, mel_ref, out_ref, spectra, *,
     out_ref[0, n_ch:n_ch + 3, :, :] = mel_of(iv / normal)
 
 
-def _kernel_r2(rows_ref, dft_ref, mel_ref, out_ref, *, nfh, n_ch, t_blk,
-               n_parts, precision, split3):
+def _kernel_r2(rows_main, rows_bnd, dft_ref, mel_ref, out_ref, *, nfh, n_ch,
+               t_blk, n_parts, precision, split3):
     """Radix-2 DIT variant: two half-size sub-DFT chains + butterfly.
 
     With E = DFT_{n/2}(even·w_even) and O' = twiddled DFT_{n/2}(odd·w_odd),
@@ -107,13 +107,21 @@ def _kernel_r2(rows_ref, dft_ref, mel_ref, out_ref, *, nfh, n_ch, t_blk,
     absorbs the bin reversal into a host-built reversed mel matrix — so no
     in-kernel flip is ever needed. Halves the DFT MAC count exactly (the
     outputs are bit-identical transforms, not approximations).
+
+    Rows arrive un-duplicated as two blocks of the same HBM array per stream
+    (main t_blk rows + boundary rows), exactly like the main kernel — the
+    round-1 variant's host-side row gather cost more than the halved MACs
+    saved (docs/PERF.md).
     """
+    bnd = n_parts - 1
+
     def shifted(slab, j):
         return slab[:, j:j + t_blk].reshape(slab.shape[0] * t_blk,
                                             slab.shape[-1])
 
     def chain(stream):
-        slab = rows_ref[0, 0, stream]  # (C, rpb, half_hop)
+        slab = jnp.concatenate([rows_main[0, stream],
+                                rows_bnd[0, stream][:, :bnd]], axis=1)
         spec = None
         if split3:
             s_hi = slab.astype(jnp.bfloat16)
@@ -182,9 +190,11 @@ def fused_logmel_iv(x: jnp.ndarray, *, n_fft: int = 1024, hop: int = 240,
     """(B, 4, samples) float32 -> (B, 7, n_frames, n_mels); numerical parity
     with ops.features.LogmelIVExtractor (and the reference torchaudio chain).
 
-    radix2=None (auto) picks the DIT kernel only for the f32 path: measured on
-    v5e the split3 kernel is latency- not MXU-bound, so halving DFT MACs only
-    pays for the heavier 6-pass f32 HIGHEST dots (32 vs ~36 ms @B=64).
+    radix2=None (auto) = on whenever nfft and hop are even. Round-1's DIT
+    variant lost for split3 because its host-side row GATHER duplicated the
+    signal ~4x; rebuilt with un-duplicated main+boundary row blocks it wins
+    outright: 27.9 vs 38.7 ms @B=128 on v5e, parity 7.2e-4 dB logmel /
+    3.3e-5 IV vs the f32 flat kernel (budget 8e-4 — docs/PERF.md).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -197,7 +207,7 @@ def fused_logmel_iv(x: jnp.ndarray, *, n_fft: int = 1024, hop: int = 240,
     n_blocks = t_pad // t_blk
 
     if radix2 is None:
-        radix2 = not split3
+        radix2 = True
     if radix2 and n_fft % 2 == 0 and hop % 2 == 0:
         return _call_radix2(x, pl=pl, pltpu=pltpu, n_fft=n_fft, hop=hop,
                             window=window, n_mels=n_mels,
@@ -212,12 +222,21 @@ def fused_logmel_iv(x: jnp.ndarray, *, n_fft: int = 1024, hop: int = 240,
     assert bnd >= 1 and t_blk % 8 == 0, (t_blk, n_parts)
 
     # hop-length rows, un-duplicated: each grid cell reads its t_blk main
-    # rows plus bnd boundary rows as two blocks of the same array
-    x = jnp.pad(x, ((0, 0), (0, 0), (n_fft // 2, n_fft // 2)), mode="reflect")
+    # rows plus bnd boundary rows as two blocks of the same array. The
+    # reflect pad, zero tail and row split are ONE concatenate (a single
+    # HBM copy) — two jnp.pad calls cost a second full-signal copy.
     rows_total = n_blocks * t_blk + bnd_blk
     need = rows_total * hop
-    x = jnp.pad(x, ((0, 0), (0, 0), (0, max(0, need - x.shape[-1]))))
-    rows = x[..., :need].reshape(B, C, rows_total, hop)
+    half = n_fft // 2
+    pieces = [x[..., 1:half + 1][..., ::-1], x]
+    tail = need - (N + half)
+    if tail > 0:
+        right = jnp.concatenate(
+            [x[..., -(half + 1):-1][..., ::-1],
+             jnp.zeros((B, C, max(0, tail - half)), x.dtype)], axis=-1)
+        pieces.append(right[..., :tail])
+    rows = jnp.concatenate(pieces, axis=-1)[..., :need].reshape(
+        B, C, rows_total, hop)
 
     win = get_window(window, n_fft)
     wcos, wsin = dft_matrices(n_fft, win)
@@ -274,26 +293,32 @@ def _call_radix2(x, *, pl, pltpu, n_fft, hop, window, n_mels, sample_rate,
     absolute positions, so decimating the SIGNAL once yields two streams in
     which the same hop-row decomposition applies with half the hop.
     """
-    B, C, _ = x.shape
+    B, C, N = x.shape
     hf, hh = n_fft // 2, hop // 2
     nfh = hf // 2 + 1
     n_freqs = n_fft // 2 + 1
     n_parts = -(-hf // hh)
+    bnd = n_parts - 1
+    bnd_blk = -(-bnd // 8) * 8
 
-    x = jnp.pad(x, ((0, 0), (0, 0), (n_fft // 2, n_fft // 2)), mode="reflect")
-    rows_per_block = t_blk + n_parts - 1
-    rows_needed = (n_blocks - 1) * t_blk + rows_per_block
-    need = rows_needed * hh
-    idx = (np.arange(n_blocks)[:, None] * t_blk
-           + np.arange(rows_per_block)[None, :])
-
-    def rows_of(sig):
-        sig = jnp.pad(sig, ((0, 0), (0, 0),
-                            (0, max(0, need - sig.shape[-1]))))
-        r = sig[..., :need].reshape(B, C, rows_needed, hh)
-        return jnp.swapaxes(r[:, :, idx], 1, 2)  # (B, nb, C, rpb, hh)
-
-    rows = jnp.stack([rows_of(x[..., 0::2]), rows_of(x[..., 1::2])], axis=2)
+    # reflect pad + zero tail as ONE concatenate (single copy), then
+    # decimate into the even/odd streams; rows stay un-duplicated — each
+    # grid cell reads main + boundary blocks of the same array
+    rows_total = n_blocks * t_blk + bnd_blk
+    need = rows_total * hh  # per stream
+    half = n_fft // 2
+    pieces = [x[..., 1:half + 1][..., ::-1], x]
+    tail = 2 * need - (N + half)
+    if tail > 0:
+        right = jnp.concatenate(
+            [x[..., -(half + 1):-1][..., ::-1],
+             jnp.zeros((B, C, max(0, tail - half)), x.dtype)], axis=-1)
+        pieces.append(right[..., :tail])
+    sig = jnp.concatenate(pieces, axis=-1)[..., :2 * need]
+    # [b,c,r,k,p] = sig[b,c, (r*hh + k)*2 + p]: stream p, row r, sample k —
+    # one transpose materializes both decimated streams in row layout
+    rows = jnp.transpose(sig.reshape(B, C, rows_total, hh, 2),
+                         (0, 4, 1, 2, 3))  # (B, 2 streams, C, rows, hh)
 
     # sub-DFT matrices: window folded in; odd stream pre-multiplied by the
     # W^k = exp(-2*pi*i*k/n_fft) twiddle so the kernel butterfly is add/sub
@@ -338,8 +363,10 @@ def _call_radix2(x, *, pl, pltpu, n_fft, hop, window, n_mels, sample_rate,
                 precision=precision, split3=split3),
         grid=(B, n_blocks),
         in_specs=[
-            pl.BlockSpec((1, 1, 2, C, rows_per_block, hh),
-                         lambda b, t: (b, t, 0, 0, 0, 0),
+            pl.BlockSpec((1, 2, C, t_blk, hh), lambda b, t: (b, 0, 0, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, C, bnd_blk, hh),
+                         lambda b, t: (b, 0, 0, (t + 1) * (t_blk // bnd_blk), 0),
                          memory_space=pltpu.VMEM),
             dft_spec,
             pl.BlockSpec((2, nfh, n_mels), lambda b, t: (0, 0, 0),
@@ -350,5 +377,5 @@ def _call_radix2(x, *, pl, pltpu, n_fft, hop, window, n_mels, sample_rate,
         out_shape=jax.ShapeDtypeStruct((B, 7, t_pad, n_mels), jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(rows, jnp.asarray(parts), jnp.asarray(mel2))
+    )(rows, rows, jnp.asarray(parts), jnp.asarray(mel2))
     return out[:, :, :n_frames, :]

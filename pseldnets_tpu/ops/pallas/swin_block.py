@@ -54,10 +54,49 @@ def _gelu_exact(x: jnp.ndarray, fast: bool = False) -> jnp.ndarray:
     return (0.5 * xf * (1.0 + e)).astype(x.dtype)
 
 
-def _ln(xf: jnp.ndarray, scale, bias) -> jnp.ndarray:
+# odd minimax fit of erf(u) ~= u*P(u^2) on [0, 3.2] (u-weighted so the GELU
+# error 0.5*|x|*err is equiripple): max |gelu_poly - gelu_exact| = 5.2e-5
+# over all x — two orders below bf16 activation rounding (~0.4% relative).
+# ~18 cheap VPU madds vs the A&S erf's sign/abs/reciprocal/Horner-5/exp chain.
+_ERF_POLY = (1.1274634720360315, -0.37247318975773086, 0.10760827076380255,
+             -0.02304370824603688, 0.003558730840648696,
+             -0.0003814308901475312, 2.66667333015962e-05,
+             -1.08585897381995e-06, 1.944008265638895e-08)
+
+
+def _gelu_poly(x: jnp.ndarray) -> jnp.ndarray:
+    """bf16-accuracy GELU: clamped odd polynomial erf, no exp/divide."""
+    xf = x.astype(jnp.float32)
+    u = jnp.clip(xf * np.float32(1 / np.sqrt(2)), -3.2, 3.2)
+    u2 = u * u
+    p = jnp.float32(_ERF_POLY[-1])
+    for c in _ERF_POLY[-2::-1]:
+        p = p * u2 + np.float32(c)
+    return (0.5 * xf * (1.0 + u * p)).astype(x.dtype)
+
+
+def _ln(xf: jnp.ndarray, scale, bias, fast: bool = False) -> jnp.ndarray:
     m = jnp.mean(xf, axis=-1, keepdims=True)
-    v = jnp.mean((xf - m) ** 2, axis=-1, keepdims=True)
+    if fast:
+        # single-pass E[x^2]-m^2 (bf16 path only: the ~1e-7 f32 cancellation
+        # noise is far under bf16 rounding; saves a full subtract pass)
+        v = jnp.maximum(jnp.mean(xf * xf, axis=-1, keepdims=True) - m * m, 0.0)
+    else:
+        v = jnp.mean((xf - m) ** 2, axis=-1, keepdims=True)
     return (xf - m) * jax.lax.rsqrt(v + 1e-5) * scale + bias
+
+
+def _softmax(s: jnp.ndarray, fast: bool = False) -> jnp.ndarray:
+    """f32 softmax; fast=True uses the VPU's approximate reciprocal for the
+    normalization (~1e-4 relative — under bf16 rounding) instead of a divide."""
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    if fast:
+        from jax.experimental import pallas as pl
+
+        return e * pl.reciprocal(denom, approx=True)
+    return e / denom
 
 
 def _block_kernel(x_ref, dp_ref, ln1s, ln1b, qkvw, qkvb, projw, projb,
@@ -71,11 +110,15 @@ def _block_kernel(x_ref, dp_ref, ln1s, ln1b, qkvw, qkvb, projw, projb,
     cd = compute_dtype
     G, L = x_ref.shape[0], H * W  # G images per grid cell
 
+    # fast LN/softmax (single-pass stats, approx reciprocal) MEASURED SLOWER
+    # on v5e (54 vs 38 ms fused fwd @B=128) — Mosaic's lowering of the
+    # variants breaks fusions the standard forms get. Keep them off.
+    fast = False
     x0 = x_ref[:].astype(cd)  # (G, L, C); residual adds stay in compute dtype
     # exactly like the flax path (f32 only inside LN/softmax/accumulators)
 
     # LN1 + shift + window partition (windows of all G images batch together)
-    h = _ln(x0.astype(jnp.float32), ln1s[0], ln1b[0]).astype(cd)
+    h = _ln(x0.astype(jnp.float32), ln1s[0], ln1b[0], fast).astype(cd)
     img = h.reshape(G, H, W, C)
     if shift:
         img = jnp.roll(img, shift=(-shift, -shift), axis=(1, 2))
@@ -97,7 +140,7 @@ def _block_kernel(x_ref, dp_ref, ln1s, ln1b, qkvw, qkvb, projw, projb,
         s = s + bias_ref[hh][None]
         if has_mask:
             s = (s.reshape(G, nW, N, N) + mask_ref[:][None]).reshape(G * nW, N, N)
-        p = jax.nn.softmax(s, axis=-1).astype(cd)  # (G*nW, N, N)
+        p = _softmax(s, fast).astype(cd)  # (G*nW, N, N)
         o = jax.lax.dot_general(p, v, (((2,), (1,)), ((0,), (0,))),
                                 preferred_element_type=jnp.float32)
         heads.append(o.reshape(G * nW * N, hd))
@@ -127,10 +170,10 @@ def _block_kernel(x_ref, dp_ref, ln1s, ln1b, qkvw, qkvb, projw, projb,
         y = (x0 + img2).reshape(G * L, C)
 
     def mlp(yc):
-        h2 = _ln(yc.astype(jnp.float32), ln2s[0], ln2b[0]).astype(cd)
+        h2 = _ln(yc.astype(jnp.float32), ln2s[0], ln2b[0], fast).astype(cd)
         f = jnp.dot(h2, fc1w[:].astype(cd),
                     preferred_element_type=jnp.float32) + fc1b[0]
-        f = _gelu_exact(f, fast=(cd == jnp.bfloat16)).astype(cd)
+        f = (_gelu_poly(f) if cd == jnp.bfloat16 else _gelu_exact(f)).astype(cd)
         return (jnp.dot(f, fc2w[:].astype(cd),
                         preferred_element_type=jnp.float32)
                 + fc2b[0]).astype(cd)

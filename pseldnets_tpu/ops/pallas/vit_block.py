@@ -1,0 +1,161 @@
+"""Fused plain-ViT transformer block as a single Pallas TPU kernel.
+
+The PaSST encoder (reference src/models/components/passt.py:50-130) is a
+stack of pre-LN ViT blocks:
+
+    LN1 -> qkv -> full MHSA -> proj -> residual -> LN2 -> MLP (GELU) -> residual
+
+Like the Swin kernel (ops/pallas/swin_block.py), device profiling shows the
+flax forward is dominated by LayerNorm/softmax convert+reduce and unfused
+elementwise chains, not matmuls — running the whole block per image group in
+VMEM leaves one activation read + one write of HBM traffic per block.
+
+Differences vs the Swin kernel: no window partition / shift / masks /
+relative-position bias, LayerNorm eps is 1e-6 (timm ViT) instead of 1e-5,
+and attention is one (N, N) score matrix per head over the full token
+sequence (cls+dist tokens included).
+"""
+
+from functools import partial
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .swin_block import _gelu_exact, _gelu_poly, _softmax
+
+Dtype = Any
+
+
+def _ln(xf: jnp.ndarray, scale, bias, eps: float,
+        fast: bool = False) -> jnp.ndarray:
+    m = jnp.mean(xf, axis=-1, keepdims=True)
+    if fast:  # single-pass stats, bf16 path only (see swin_block._ln)
+        v = jnp.maximum(jnp.mean(xf * xf, axis=-1, keepdims=True) - m * m, 0.0)
+    else:
+        v = jnp.mean((xf - m) ** 2, axis=-1, keepdims=True)
+    return (xf - m) * jax.lax.rsqrt(v + eps) * scale + bias
+
+
+def _vit_kernel(x_ref, ln1s, ln1b, qkvw, qkvb, projw, projb,
+                ln2s, ln2b, fc1w, fc1b, fc2w, fc2b, out_ref, *,
+                N, C, nh, hidden, eps, compute_dtype):
+    hd = C // nh
+    scale = hd ** -0.5
+    cd = compute_dtype
+    G = x_ref.shape[0]
+
+    fast = False  # measured slower on v5e — see swin_block._block_kernel
+    x0 = x_ref[:].astype(cd)  # (G, N, C)
+    h = _ln(x0.astype(jnp.float32), ln1s[0], ln1b[0], eps, fast).astype(cd)
+
+    qkv = jnp.dot(h.reshape(G * N, C), qkvw[:].astype(cd),
+                  preferred_element_type=jnp.float32) + qkvb[0]
+    qkv = qkv.astype(cd)
+
+    heads = []
+    for hh in range(nh):
+        q = qkv[:, hh * hd:(hh + 1) * hd].reshape(G, N, hd)
+        k = qkv[:, C + hh * hd: C + (hh + 1) * hd].reshape(G, N, hd)
+        v = qkv[:, 2 * C + hh * hd: 2 * C + (hh + 1) * hd].reshape(G, N, hd)
+        s = jax.lax.dot_general(q * jnp.asarray(scale, cd), k,
+                                (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        p = _softmax(s, fast).astype(cd)  # (G, N, N)
+        o = jax.lax.dot_general(p, v, (((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        heads.append(o.reshape(G * N, hd))
+    attn = jnp.concatenate(heads, axis=-1).astype(cd)
+
+    attn = (jnp.dot(attn, projw[:].astype(cd),
+                    preferred_element_type=jnp.float32) + projb[0]).astype(cd)
+    y = (x0 + attn.reshape(G, N, C)).reshape(G * N, C)
+
+    def mlp(yc):
+        h2 = _ln(yc.astype(jnp.float32), ln2s[0], ln2b[0], eps, fast).astype(cd)
+        f = jnp.dot(h2, fc1w[:].astype(cd),
+                    preferred_element_type=jnp.float32) + fc1b[0]
+        f = (_gelu_poly(f) if cd == jnp.bfloat16 else _gelu_exact(f)).astype(cd)
+        return (jnp.dot(f, fc2w[:].astype(cd),
+                        preferred_element_type=jnp.float32)
+                + fc2b[0]).astype(cd)
+
+    # chunk the MLP so the (rows, hidden) f32 intermediate stays small
+    n_chunks = 1
+    for cand in (4, 2):
+        if (G * N) % cand == 0 and (G * N) // cand >= 256:
+            n_chunks = cand
+            break
+    rows = (G * N) // n_chunks
+    outs = [(y[c * rows:(c + 1) * rows]
+             + mlp(y[c * rows:(c + 1) * rows])).astype(out_ref.dtype)
+            for c in range(n_chunks)]
+    out_ref[:] = jnp.concatenate(outs, axis=0).reshape(G, N, C)
+
+
+def vit_block_fused(x: jnp.ndarray, p: Dict, *, nh: int, eps: float = 1e-6,
+                    compute_dtype=jnp.bfloat16, group: int = 0,
+                    interpret: bool = False) -> jnp.ndarray:
+    """x (B, N, C) + the block's flax param subtree -> (B, N, C).
+
+    Equivalent to models.passt.Block in eval mode (no dropout / drop-path).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, N, C = x.shape
+
+    G = group or max(1, 2048 // N)
+    while B % G:
+        G -= 1
+
+    def dense(d):
+        return d["base"] if "base" in d else d
+
+    qkv_p = dense(p["attn"]["qkv"])
+    proj_p = dense(p["attn"]["proj"])
+    fc1_p = dense(p["mlp"]["fc1"])
+    fc2_p = dense(p["mlp"]["fc2"])
+    hidden = fc1_p["kernel"].shape[1]
+
+    # big weight matrices go to VMEM pre-cast to the compute dtype (flax
+    # Dense with dtype=bf16 casts f32 params to bf16 anyway) — halves their
+    # VMEM footprint; 1-D params stay f32 for the f32 LN/bias adds
+    wd = compute_dtype
+
+    def v1(a):
+        return jnp.asarray(a, jnp.float32).reshape(1, -1)
+
+    args = [
+        x,
+        v1(p["norm1"]["scale"]), v1(p["norm1"]["bias"]),
+        jnp.asarray(qkv_p["kernel"], wd), v1(qkv_p["bias"]),
+        jnp.asarray(proj_p["kernel"], wd), v1(proj_p["bias"]),
+        v1(p["norm2"]["scale"]), v1(p["norm2"]["bias"]),
+        jnp.asarray(fc1_p["kernel"], wd), v1(fc1_p["bias"]),
+        jnp.asarray(fc2_p["kernel"], wd), v1(fc2_p["bias"]),
+    ]
+
+    const = lambda *shape: pl.BlockSpec(shape, lambda b: (0,) * len(shape),
+                                        memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((G, N, C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        const(1, C), const(1, C),
+        const(C, 3 * C), const(1, 3 * C),
+        const(C, C), const(1, C),
+        const(1, C), const(1, C),
+        const(C, hidden), const(1, hidden),
+        const(hidden, C), const(1, C),
+    ]
+    return pl.pallas_call(
+        partial(_vit_kernel, N=N, C=C, nh=nh, hidden=hidden, eps=eps,
+                compute_dtype=compute_dtype),
+        grid=(B // G,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((G, N, C), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, C), x.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)

@@ -1,0 +1,40 @@
+"""Fused-kernel PaSST inference: the eval forward of models.heads.PASST
+(reference accdoa.py:249-329 / multi_accdoa.py:46-55) with every ViT block
+executed by the single-kernel Pallas block (ops.pallas.vit_block).
+
+The non-block pieces (scalar BN, patch embed + decomposed pos-embeds,
+cls/dist concat, final norm + token-map head) run through the SAME flax
+submodules the training model uses via apply(method=...), so there is no
+re-implementation to drift — only the block stack is swapped for the kernel.
+Parity pinned in tests/test_serving_fused.py.
+"""
+
+from typing import Any, Dict
+
+import jax.numpy as jnp
+
+from ..ops.pallas.vit_block import vit_block_fused
+
+Dtype = Any
+
+
+def passt_fused_forward(model, variables, x: jnp.ndarray,
+                        compute_dtype: Dtype = jnp.bfloat16,
+                        interpret: bool = False) -> Dict[str, jnp.ndarray]:
+    """Eval-mode forward equal to ``model.apply(variables, x, train=False)``."""
+    kw = dict(model.encoder_kwargs)
+    depth = kw.get("depth", 7)
+    nh = kw.get("num_heads", 12)
+
+    def method(mdl, x):
+        x = mdl.scalar(x, use_running_average=True)
+        h = mdl.encoder.forward_before(x, train=False)
+        pb = mdl.encoder.variables["params"]
+        for i in range(depth):
+            h = vit_block_fused(h, pb[f"blocks_{i}"], nh=nh, eps=1e-6,
+                                compute_dtype=compute_dtype,
+                                interpret=interpret)
+        fm, _ = mdl.encoder.forward_after(h, train=False)
+        return {mdl.output_key: jnp.tanh(mdl.fc(fm))}
+
+    return model.apply(variables, x, method=method)

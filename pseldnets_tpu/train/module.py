@@ -239,17 +239,28 @@ class SELDTask:
         return jax.jit(train_step, donate_argnums=(0,))
 
     def _make_eval_step(self):
-        from ..models import heads
+        from ..models import einv2_heads, heads
 
-        # On TPU, plain (no-adapter) HTSAT inference routes through the
-        # fused-block serving engine (serving/htsat.py): 2.4x the flax
-        # forward on-chip, parity pinned in tests/test_serving_fused.py.
-        # Multi-chip: shard_map runs the pallas grid per device shard (the
-        # 5s-clip pairing becomes shard-local, same semantics as the
-        # reference's per-GPU DDP batches).
-        use_fused = (jax.default_backend() == "tpu"
-                     and isinstance(self.model, heads.HTSAT)
-                     and self.model.adapt.method in ("none", "mono_finetune"))
+        # On TPU, plain (no-adapter) transformer inference routes through the
+        # fused-block serving engines (serving/htsat|passt|einv2): profiling
+        # showed the flax forwards are copies/LN-bound, not matmul-bound;
+        # parity is pinned in tests/test_serving_fused.py. Multi-chip:
+        # shard_map runs the pallas grid per device shard (the 5s-clip
+        # pairing becomes shard-local, same semantics as the reference's
+        # per-GPU DDP batches).
+        fused_fn = None
+        if jax.default_backend() == "tpu":
+            from .. import serving
+
+            if (isinstance(self.model, heads.HTSAT)
+                    and self.model.adapt.method in ("none", "mono_finetune")):
+                fused_fn = serving.htsat_fused_forward
+            elif isinstance(self.model, heads.PASST):
+                fused_fn = serving.passt_fused_forward
+            elif (isinstance(self.model, einv2_heads.HTSAT)
+                    and self.model.adapt.method in ("none", "mono_finetune")):
+                fused_fn = serving.einv2_htsat_fused_forward
+        use_fused = fused_fn is not None
 
         def eval_step(params, batch_stats, batch_x):
             feats = self._forward_features(batch_x)
@@ -257,9 +268,7 @@ class SELDTask:
             if batch_stats:
                 variables["batch_stats"] = batch_stats
             if use_fused:
-                from ..serving import htsat_fused_forward
-
-                fwd = lambda v, f: htsat_fused_forward(  # noqa: E731
+                fwd = lambda v, f: fused_fn(  # noqa: E731
                     self.model, v, f, compute_dtype=self.model.dtype)
                 if self.mesh.size > 1:
                     from jax import shard_map
@@ -267,7 +276,7 @@ class SELDTask:
 
                     fwd = shard_map(fwd, mesh=self.mesh,
                                     in_specs=(P(), P("data")),
-                                    out_specs=P("data"), check_rep=False)
+                                    out_specs=P("data"), check_vma=False)
                 return fwd(variables, feats)
             return self.model.apply(variables, feats, train=False)
 
@@ -322,10 +331,22 @@ class SELDTask:
         if self._eval_step_fn is None:
             self._eval_step_fn = self._make_eval_step()
         batch_x = jnp.asarray(np.asarray(batch["data"], np.float32))
+        # uneven final validation batches: NamedSharding requires the batch
+        # dim divisible by the mesh — pad with repeats, slice preds back
+        # (also keeps the 5s-concat pairing even)
+        B = batch_x.shape[0]
+        pad = (-B) % self.mesh.size
+        if pad:
+            batch_x = jnp.concatenate(
+                [batch_x, jnp.repeat(batch_x[-1:], pad, axis=0)], axis=0)
         if post_processing == "ACS":
-            return self._acs_forward(state, batch_x)
-        batch_x = shard_batch(self.mesh, batch_x)
-        return self._eval_step_fn(state.params, state.batch_stats, batch_x)
+            out = self._acs_forward(state, batch_x)
+        else:
+            sharded = shard_batch(self.mesh, batch_x)
+            out = self._eval_step_fn(state.params, state.batch_stats, sharded)
+        if pad:
+            out = {k: v[:B] for k, v in out.items()}
+        return out
 
     def _acs_forward(self, state, batch_x):
         """16-way rotation test-time augmentation (reference

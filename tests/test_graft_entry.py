@@ -21,3 +21,13 @@ def test_entry_lowers():
     fn, args = g.entry()
     lowered = jax.jit(fn).lower(*args)
     assert "multi_accdoa" in str(lowered.out_info)
+
+
+@pytest.mark.skipif(os.environ.get("GRAFT_FULL_DRYRUN") != "1",
+                    reason="~25-30 min of XLA CPU compiles; run once per "
+                           "round via GRAFT_FULL_DRYRUN=1 (see __graft_entry__"
+                           ".dryrun_multichip_full)")
+def test_dryrun_multichip_fullsize():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip_full(8)

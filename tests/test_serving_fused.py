@@ -82,6 +82,80 @@ def test_htsat_fused_forward_shard_map(rng):
     fwd = lambda v, f: htsat_fused_forward(  # noqa: E731
         model, v, f, compute_dtype=jnp.float32, interpret=True)
     sharded = shard_map(fwd, mesh=mesh, in_specs=(P(), P("data")),
-                        out_specs=P("data"), check_rep=False)
+                        out_specs=P("data"), check_vma=False)
     out = np.asarray(sharded(variables, x)["multi_accdoa"])
     np.testing.assert_allclose(out, single, atol=1e-5)
+
+
+def _tiny_passt(num_tracks=1):
+    return heads.PASST(
+        num_classes=5, in_channels=7, mel_bins=16, num_tracks=num_tracks,
+        encoder_kwargs=(("u_patchout", 0), ("s_patchout_t", 0),
+                        ("s_patchout_f", 0), ("img_size", (16, 101)),
+                        ("patch_size", 16), ("stride", 10),
+                        ("embed_dim", 16), ("depth", 2), ("num_heads", 2),
+                        ("mlp_ratio", 4.0), ("qkv_bias", True),
+                        ("distilled", True), ("drop_rate", 0.0),
+                        ("drop_path_rate", 0.0)))
+
+
+def test_vit_block_kernel_parity(rng):
+    from pseldnets_tpu.models.passt import Block
+    from pseldnets_tpu.ops.pallas.vit_block import vit_block_fused
+
+    N, C, nh = 26, 32, 4
+    blk = Block(dim=C, num_heads=nh)
+    x = jnp.asarray(rng.standard_normal((3, N, C)).astype(np.float32))
+    vs = blk.init(jax.random.PRNGKey(0), x)
+    ref = np.asarray(blk.apply(vs, x))
+    got = np.asarray(vit_block_fused(x, vs["params"], nh=nh,
+                                     compute_dtype=jnp.float32,
+                                     interpret=True))
+    assert np.abs(got - ref).max() < 2e-5, np.abs(got - ref).max()
+
+
+def test_passt_fused_forward_parity(rng):
+    from pseldnets_tpu.serving import passt_fused_forward
+
+    model = _tiny_passt()
+    x = jnp.asarray(rng.standard_normal((2, 7, 101, 16)).astype(np.float32) * 0.5)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    ref = np.asarray(model.apply(variables, x, train=False)["accdoa"])
+    got = np.asarray(passt_fused_forward(model, variables, x,
+                                         compute_dtype=jnp.float32,
+                                         interpret=True)["accdoa"])
+    assert got.shape == ref.shape
+    assert np.abs(got - ref).max() < 5e-5, np.abs(got - ref).max()
+
+
+def test_einv2_htsat_fused_forward_parity(rng):
+    from pseldnets_tpu.models import einv2_heads
+    from pseldnets_tpu.serving import einv2_htsat_fused_forward
+
+    model = einv2_heads.HTSAT(
+        num_classes=5, in_channels=7, mel_bins=16, tgt_output_frames=24,
+        encoder_kwargs=(("spec_size", 64), ("patch_size", 4),
+                        ("patch_stride", (4, 4)), ("embed_dim", 16),
+                        ("depths", (2, 2)), ("num_heads", (2, 4)),
+                        ("window_size", 4), ("mlp_ratio", 2.0),
+                        ("drop_path_rate", 0.0)))
+    x = jnp.asarray(rng.standard_normal((2, 7, 241, 16)).astype(np.float32) * 0.5)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    ref = model.apply(variables, x, train=False)
+    got = einv2_htsat_fused_forward(model, variables, x,
+                                    compute_dtype=jnp.float32,
+                                    interpret=True)
+    for k in ("sed", "doa"):
+        d = np.abs(np.asarray(got[k]) - np.asarray(ref[k])).max()
+        assert d < 5e-5, (k, d)
+
+
+def test_gelu_poly_accuracy():
+    """The bf16-path polynomial GELU must stay within 1e-4 of exact GELU
+    everywhere (fitted max err 5.2e-5 — two orders below bf16 rounding)."""
+    from pseldnets_tpu.ops.pallas.swin_block import _gelu_poly
+
+    x = jnp.asarray(np.linspace(-20, 20, 200001, dtype=np.float32))
+    got = np.asarray(_gelu_poly(x))
+    ref = np.asarray(jax.nn.gelu(x, approximate=False))
+    assert np.abs(got - ref).max() < 1e-4, np.abs(got - ref).max()
