@@ -183,7 +183,7 @@ def _kernel_r2(rows_main, rows_bnd, dft_ref, mel_ref, out_ref, *, nfh, n_ch,
                                    "precision", "split3", "radix2"))
 def fused_logmel_iv(x: jnp.ndarray, *, n_fft: int = 1024, hop: int = 240,
                     window: str = "hann", n_mels: int = 64,
-                    sample_rate: int = 24000, t_blk: int = 128,
+                    sample_rate: int = 24000, t_blk: int = 256,
                     interpret: bool = False, split3: bool = False,
                     radix2=None,
                     precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
