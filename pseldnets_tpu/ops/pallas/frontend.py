@@ -97,7 +97,7 @@ def _kernel(rows_main, rows_bnd, dft_ref, mel_ref, out_ref, spectra, *,
 
 
 def _kernel_r2(rows_main, rows_bnd, dft_ref, mel_ref, out_ref, *, nfh, n_ch,
-               t_blk, n_parts, precision, split3):
+               t_blk, n_parts, precision, split3, mel_precision=None):
     """Radix-2 DIT variant: two half-size sub-DFT chains + butterfly.
 
     With E = DFT_{n/2}(even·w_even) and O' = twiddled DFT_{n/2}(odd·w_odd),
@@ -124,17 +124,16 @@ def _kernel_r2(rows_main, rows_bnd, dft_ref, mel_ref, out_ref, *, nfh, n_ch,
                                 rows_bnd[0, stream][:, :bnd]], axis=1)
         spec = None
         if split3:
+            # split3's a_hi@hi + a_hi@lo + a_lo@hi folded into ONE dot per
+            # part: [a_hi|a_hi|a_lo] @ [hi;lo;hi] — the MXU accumulates the
+            # three K-passes in f32 internally (bit-identical), deleting
+            # ~10M external f32 adds per grid cell (measured ~3 ms/batch)
             s_hi = slab.astype(jnp.bfloat16)
             s_lo = (slab - s_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            slab3 = jnp.concatenate([s_hi, s_hi, s_lo], axis=-1)
             for j in range(n_parts):
-                a_hi = shifted(s_hi, j)
-                a_lo = shifted(s_lo, j)
-                s = (jnp.dot(a_hi, dft_ref[stream, 0, j],
-                             preferred_element_type=jnp.float32)
-                     + jnp.dot(a_hi, dft_ref[stream, 1, j],
-                               preferred_element_type=jnp.float32)
-                     + jnp.dot(a_lo, dft_ref[stream, 0, j],
-                               preferred_element_type=jnp.float32))
+                s = jnp.dot(shifted(slab3, j), dft_ref[stream, j],
+                            preferred_element_type=jnp.float32)
                 spec = s if spec is None else spec + s
         else:
             for j in range(n_parts):
@@ -156,14 +155,33 @@ def _kernel_r2(rows_main, rows_bnd, dft_ref, mel_ref, out_ref, *, nfh, n_ch,
     s_re, s_im = halves(s_f)
     d_re, d_im = halves(d_f)
 
+    mel_fold = split3 if mel_precision is None else mel_precision == "split3"
+    mp = precision if mel_precision in (None, "split3") else mel_precision
+
     def mel2(lo, hi):
         lead = lo.shape[:-1]
-        flat = (jnp.dot(lo.reshape(-1, nfh), mel_ref[0],
-                        precision=precision,
-                        preferred_element_type=jnp.float32)
-                + jnp.dot(hi.reshape(-1, nfh), mel_ref[1],
-                          precision=precision,
-                          preferred_element_type=jnp.float32))
+        if mel_fold:
+            # bf16x3 mel projection, folded into ONE dot per half:
+            # [v_hi|v_hi|v_lo] @ [m_hi; m_lo; m_hi] — 7 K-passes vs f32
+            # HIGHEST's 18 on the (.., 257)@(257, 64) dots (~3 ms/batch),
+            # error ~2^-16 relative (same machinery as the DFT split3)
+            def fold(v):
+                vf = v.reshape(-1, nfh)
+                v_hi = vf.astype(jnp.bfloat16)
+                v_lo = (vf - v_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                return jnp.concatenate([v_hi, v_hi, v_lo], axis=-1)
+
+            flat = (jnp.dot(fold(lo), mel_ref[0],
+                            preferred_element_type=jnp.float32)
+                    + jnp.dot(fold(hi), mel_ref[1],
+                              preferred_element_type=jnp.float32))
+        else:
+            flat = (jnp.dot(lo.reshape(-1, nfh), mel_ref[0],
+                            precision=mp,
+                            preferred_element_type=jnp.float32)
+                    + jnp.dot(hi.reshape(-1, nfh), mel_ref[1],
+                              precision=mp,
+                              preferred_element_type=jnp.float32))
         return flat.reshape(lead + (mel_ref.shape[-1],))
 
     pow_lo = s_re * s_re + s_im * s_im
@@ -180,12 +198,13 @@ def _kernel_r2(rows_main, rows_bnd, dft_ref, mel_ref, out_ref, *, nfh, n_ch,
 
 @partial(jax.jit, static_argnames=("n_fft", "hop", "window", "n_mels",
                                    "sample_rate", "t_blk", "interpret",
-                                   "precision", "split3", "radix2"))
+                                   "precision", "split3", "radix2",
+                                   "mel_precision"))
 def fused_logmel_iv(x: jnp.ndarray, *, n_fft: int = 1024, hop: int = 240,
                     window: str = "hann", n_mels: int = 64,
                     sample_rate: int = 24000, t_blk: int = 256,
                     interpret: bool = False, split3: bool = False,
-                    radix2=None,
+                    radix2=None, mel_precision=None,
                     precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
     """(B, 4, samples) float32 -> (B, 7, n_frames, n_mels); numerical parity
     with ops.features.LogmelIVExtractor (and the reference torchaudio chain).
@@ -213,8 +232,9 @@ def fused_logmel_iv(x: jnp.ndarray, *, n_fft: int = 1024, hop: int = 240,
                             window=window, n_mels=n_mels,
                             sample_rate=sample_rate, t_blk=t_blk,
                             interpret=interpret, split3=split3,
-                            precision=precision, n_frames=n_frames,
-                            t_pad=t_pad, n_blocks=n_blocks)
+                            precision=precision, mel_precision=mel_precision,
+                            n_frames=n_frames, t_pad=t_pad,
+                            n_blocks=n_blocks)
 
     n_parts = n_fft // hop + (1 if n_fft % hop else 0)
     bnd = n_parts - 1
@@ -285,7 +305,7 @@ def fused_logmel_iv(x: jnp.ndarray, *, n_fft: int = 1024, hop: int = 240,
 
 def _call_radix2(x, *, pl, pltpu, n_fft, hop, window, n_mels, sample_rate,
                  t_blk, interpret, split3, precision, n_frames, t_pad,
-                 n_blocks):
+                 n_blocks, mel_precision=None):
     """Host prep + pallas_call for the radix-2 DIT kernel.
 
     Frame f covers padded[f*hop + n], n = 0..n_fft-1 (center=True reflect pad
@@ -340,10 +360,12 @@ def _call_radix2(x, *, pl, pltpu, n_fft, hop, window, n_mels, sample_rate,
         mats.append(p)
     parts = np.stack(mats, axis=0)  # (2, np, hh, 2*nfh)
     if split3:
-        hi = parts.astype(jnp.bfloat16)
-        lo = (parts - np.asarray(hi, np.float32)).astype(jnp.bfloat16)
-        parts = np.stack([np.asarray(hi), np.asarray(lo)], axis=1)
-        # (2 stream, 2 hi/lo, np, hh, 2*nfh)
+        hi = np.asarray(parts.astype(jnp.bfloat16))
+        lo = np.asarray((parts - np.asarray(hi, np.float32)
+                         ).astype(jnp.bfloat16))
+        # one-dot layout: [hi_j; lo_j; hi_j] rows pair with the kernel's
+        # [a_hi | a_hi | a_lo] operand -> (2 stream, np, 3*hh, 2*nfh)
+        parts = np.concatenate([hi, lo, hi], axis=2)
 
     mel = mel_filterbank(sample_rate, n_fft, n_mels, fmin=20.0,
                          fmax=sample_rate / 2.0, scale="htk", norm="slaney")
@@ -351,8 +373,15 @@ def _call_radix2(x, *, pl, pltpu, n_fft, hop, window, n_mels, sample_rate,
     mel2[0] = mel[:nfh]
     mel2[1, : nfh - 1] = mel[n_freqs - 1: nfh - 1: -1]  # bins N/2..nfh rev
 
-    dft_spec = (pl.BlockSpec((2, 2, n_parts, hh, 2 * nfh),
-                             lambda b, t: (0, 0, 0, 0, 0),
+    mel_fold = split3 if mel_precision is None else mel_precision == "split3"
+    if mel_fold:  # [m_hi; m_lo; m_hi] rows for the kernel's bf16x3 fold
+        m_hi = np.asarray(mel2.astype(jnp.bfloat16))
+        m_lo = np.asarray((mel2 - np.asarray(m_hi, np.float32)
+                           ).astype(jnp.bfloat16))
+        mel2 = np.concatenate([m_hi, m_lo, m_hi], axis=1)
+
+    dft_spec = (pl.BlockSpec((2, n_parts, 3 * hh, 2 * nfh),
+                             lambda b, t: (0, 0, 0, 0),
                              memory_space=pltpu.VMEM)
                 if split3 else
                 pl.BlockSpec((2, n_parts, hh, 2 * nfh),
@@ -360,7 +389,8 @@ def _call_radix2(x, *, pl, pltpu, n_fft, hop, window, n_mels, sample_rate,
                              memory_space=pltpu.VMEM))
     out = pl.pallas_call(
         partial(_kernel_r2, nfh=nfh, n_ch=C, t_blk=t_blk, n_parts=n_parts,
-                precision=precision, split3=split3),
+                precision=precision, split3=split3,
+                mel_precision=mel_precision),
         grid=(B, n_blocks),
         in_specs=[
             pl.BlockSpec((1, 2, C, t_blk, hh), lambda b, t: (b, 0, 0, t, 0),
@@ -369,7 +399,7 @@ def _call_radix2(x, *, pl, pltpu, n_fft, hop, window, n_mels, sample_rate,
                          lambda b, t: (b, 0, 0, (t + 1) * (t_blk // bnd_blk), 0),
                          memory_space=pltpu.VMEM),
             dft_spec,
-            pl.BlockSpec((2, nfh, n_mels), lambda b, t: (0, 0, 0),
+            pl.BlockSpec((2, mel2.shape[1], n_mels), lambda b, t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 7, t_blk, n_mels), lambda b, t: (b, 0, t, 0),
