@@ -298,3 +298,177 @@ def swin_block_fused(x: jnp.ndarray, p: Dict, *, H: int, W: int, nh: int,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(*args)
+
+
+# --------------------------------------------------------------------------
+# Whole-stage fusion: all blocks of a Swin stage in ONE kernel invocation.
+# Eval-only (no drop-path). Saves the per-block HBM round-trip of the token
+# activations plus (depth-1) kernel launches; blocks within a stage share
+# every shape, so their params stack on a leading depth axis.
+# --------------------------------------------------------------------------
+
+
+def _stage_kernel(x_ref, ln1s, ln1b, qkvw, qkvb, projw, projb,
+                  ln2s, ln2b, fc1w, fc1b, fc2w, fc2b, bias_ref, mask_ref,
+                  out_ref, *, H, W, C, nh, w, shifts, hidden, has_mask,
+                  compute_dtype):
+    N = w * w
+    nW = (H // w) * (W // w)
+    hd = C // nh
+    scale = hd ** -0.5
+    cd = compute_dtype
+    G, L = x_ref.shape[0], H * W
+    fast = False  # see _block_kernel
+
+    x0 = x_ref[:].astype(cd)  # (G, L, C)
+    for d, shift in enumerate(shifts):
+        h = _ln(x0.astype(jnp.float32), ln1s[d, 0], ln1b[d, 0],
+                fast).astype(cd)
+        img = h.reshape(G, H, W, C)
+        if shift:
+            img = jnp.roll(img, shift=(-shift, -shift), axis=(1, 2))
+        win = img.reshape(G, H // w, w, W // w, w, C)
+        win = jnp.transpose(win, (0, 1, 3, 2, 4, 5)).reshape(G * nW * N, C)
+
+        qkv = jnp.dot(win, qkvw[d].astype(cd),
+                      preferred_element_type=jnp.float32) + qkvb[d]
+        qkv = qkv.astype(cd)
+
+        heads = []
+        for hh in range(nh):
+            q = qkv[:, hh * hd:(hh + 1) * hd].reshape(G * nW, N, hd)
+            k = qkv[:, C + hh * hd: C + (hh + 1) * hd].reshape(G * nW, N, hd)
+            v = qkv[:, 2 * C + hh * hd: 2 * C + (hh + 1) * hd].reshape(
+                G * nW, N, hd)
+            s = jax.lax.dot_general(q * jnp.asarray(scale, cd), k,
+                                    (((2,), (2,)), ((0,), (0,))),
+                                    preferred_element_type=jnp.float32)
+            s = s + bias_ref[d, hh][None]
+            if has_mask and shift:
+                s = (s.reshape(G, nW, N, N)
+                     + mask_ref[:][None]).reshape(G * nW, N, N)
+            p = _softmax(s, fast).astype(cd)
+            o = jax.lax.dot_general(p, v, (((2,), (1,)), ((0,), (0,))),
+                                    preferred_element_type=jnp.float32)
+            heads.append(o.reshape(G * nW * N, hd))
+        attn = jnp.concatenate(heads, axis=-1).astype(cd)
+        attn = (jnp.dot(attn, projw[d].astype(cd),
+                        preferred_element_type=jnp.float32)
+                + projb[d]).astype(cd)
+
+        img2 = attn.reshape(G, H // w, W // w, w, w, C)
+        img2 = jnp.transpose(img2, (0, 1, 3, 2, 4, 5)).reshape(G, H, W, C)
+        if shift:
+            img2 = jnp.roll(img2, shift=(shift, shift), axis=(1, 2))
+        y = (x0 + img2.reshape(G, L, C)).reshape(G * L, C)
+
+        def mlp(yc, d=d):
+            h2 = _ln(yc.astype(jnp.float32), ln2s[d, 0], ln2b[d, 0],
+                     fast).astype(cd)
+            f = jnp.dot(h2, fc1w[d].astype(cd),
+                        preferred_element_type=jnp.float32) + fc1b[d]
+            f = (_gelu_poly(f) if cd == jnp.bfloat16
+                 else _gelu_exact(f)).astype(cd)
+            return (jnp.dot(f, fc2w[d].astype(cd),
+                            preferred_element_type=jnp.float32)
+                    + fc2b[d]).astype(cd)
+
+        n_chunks = max(1, min(4, (G * L) // 512))
+        rows = (G * L) // n_chunks
+        x0 = jnp.concatenate(
+            [y[c * rows:(c + 1) * rows] + mlp(y[c * rows:(c + 1) * rows])
+             for c in range(n_chunks)], axis=0).reshape(G, L, C)
+    out_ref[:] = x0.astype(out_ref.dtype)
+
+
+def swin_stage_fused(x: jnp.ndarray, blocks, *, H: int, W: int, nh: int,
+                     window: int, shifts, compute_dtype=jnp.bfloat16,
+                     group: int = 0, interpret: bool = False) -> jnp.ndarray:
+    """x (B, H*W, C) + a list of block param subtrees -> (B, H*W, C).
+
+    Equivalent to running ``swin_block_fused`` sequentially over ``blocks``
+    with the given per-block shifts (eval mode). ``shifts`` must already
+    follow the reference clamp rule.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, L, C = x.shape
+    w = window
+    N = w * w
+    nW = (H // w) * (W // w)
+    depth = len(blocks)
+    shifts = tuple(shifts)
+    assert len(shifts) == depth
+
+    G = group or max(1, (8192 * 96) // (L * C))
+    while B % G:
+        G -= 1
+
+    def dense(d):
+        return d["base"] if "base" in d else d
+
+    wd = compute_dtype  # big matrices pre-cast (flax casts params anyway)
+
+    def stack(get, dtype):
+        return jnp.stack([jnp.asarray(get(p), dtype) for p in blocks])
+
+    def stack1(get):  # 1-D params -> (depth, 1, D) f32
+        return jnp.stack([jnp.asarray(get(p), jnp.float32).reshape(1, -1)
+                          for p in blocks])
+
+    hidden = dense(blocks[0]["mlp"]["fc1"])["kernel"].shape[1]
+    bias = jnp.stack([_rel_bias(p["attn"]["relative_position_bias_table"],
+                                w, nh) for p in blocks])
+    base_shift = max(shifts)
+    if base_shift > 0:
+        from ...models.htsat import shift_attn_mask
+
+        mask = jnp.asarray(shift_attn_mask(H, W, w, base_shift))
+        has_mask = True
+    else:
+        mask = jnp.zeros((1, N, N), jnp.float32)
+        has_mask = False
+
+    args = [
+        x,
+        stack1(lambda p: p["norm1"]["scale"]),
+        stack1(lambda p: p["norm1"]["bias"]),
+        stack(lambda p: dense(p["attn"]["qkv"])["kernel"], wd),
+        stack1(lambda p: dense(p["attn"]["qkv"])["bias"]),
+        stack(lambda p: dense(p["attn"]["proj"])["kernel"], wd),
+        stack1(lambda p: dense(p["attn"]["proj"])["bias"]),
+        stack1(lambda p: p["norm2"]["scale"]),
+        stack1(lambda p: p["norm2"]["bias"]),
+        stack(lambda p: dense(p["mlp"]["fc1"])["kernel"], wd),
+        stack1(lambda p: dense(p["mlp"]["fc1"])["bias"]),
+        stack(lambda p: dense(p["mlp"]["fc2"])["kernel"], wd),
+        stack1(lambda p: dense(p["mlp"]["fc2"])["bias"]),
+        bias, mask,
+    ]
+
+    const = lambda *shape: pl.BlockSpec(shape, lambda b: (0,) * len(shape),
+                                        memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((G, L, C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        const(depth, 1, C), const(depth, 1, C),
+        const(depth, C, 3 * C), const(depth, 1, 3 * C),
+        const(depth, C, C), const(depth, 1, C),
+        const(depth, 1, C), const(depth, 1, C),
+        const(depth, C, hidden), const(depth, 1, hidden),
+        const(depth, hidden, C), const(depth, 1, C),
+        const(depth, nh, N, N), const(mask.shape[0], N, N),
+    ]
+    return pl.pallas_call(
+        partial(_stage_kernel, H=H, W=W, C=C, nh=nh, w=w, shifts=shifts,
+                hidden=hidden, has_mask=has_mask,
+                compute_dtype=compute_dtype),
+        grid=(B // G,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((G, L, C), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, L, C), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)

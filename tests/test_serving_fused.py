@@ -159,3 +159,28 @@ def test_gelu_poly_accuracy():
     got = np.asarray(_gelu_poly(x))
     ref = np.asarray(jax.nn.gelu(x, approximate=False))
     assert np.abs(got - ref).max() < 1e-4, np.abs(got - ref).max()
+
+
+def test_swin_stage_kernel_parity(rng):
+    """swin_stage_fused == sequential SwinTransformerBlocks (shift 0, s)."""
+    from pseldnets_tpu.models.htsat import SwinTransformerBlock
+    from pseldnets_tpu.ops.pallas.swin_block import swin_stage_fused
+
+    H = W = 16
+    C, nh, w = 32, 4, 8
+    x = jnp.asarray(rng.standard_normal((3, H * W, C)).astype(np.float32))
+    blocks, params = [], []
+    ref = x
+    for j, shift in enumerate((0, 4, 0, 4)):
+        blk = SwinTransformerBlock(dim=C, input_resolution=(H, W),
+                                   num_heads=nh, window_size=w,
+                                   shift_size=shift)
+        vs = blk.init(jax.random.PRNGKey(j), ref)
+        ref = blk.apply(vs, ref)
+        params.append(vs["params"])
+    got = np.asarray(swin_stage_fused(x, params, H=H, W=W, nh=nh, window=w,
+                                      shifts=(0, 4, 0, 4),
+                                      compute_dtype=jnp.float32,
+                                      interpret=True))
+    assert np.abs(got - np.asarray(ref)).max() < 5e-5, \
+        np.abs(got - np.asarray(ref)).max()
