@@ -35,6 +35,20 @@ from ..windows import get_window
 EPS_F32 = float(np.finfo(np.float32).eps)
 
 
+def _bnd_blk(bnd: int, t_blk: int) -> int:
+    """Boundary-block height: smallest multiple of 8 >= bnd that DIVIDES
+    t_blk — the boundary BlockSpec's index map offsets in units of
+    t_blk // bnd_blk, so a non-divisor would silently read wrong rows
+    (e.g. bnd=18..24 with t_blk=256 would round to 24, and 256//24
+    truncates)."""
+    cand = max(8, -(-bnd // 8) * 8)
+    while cand <= t_blk and t_blk % cand:
+        cand += 8
+    assert cand <= t_blk and t_blk % cand == 0, \
+        f"no boundary block height for bnd={bnd}, t_blk={t_blk}"
+    return cand
+
+
 def _kernel(rows_main, rows_bnd, dft_ref, mel_ref, out_ref, spectra, *,
             n_freqs, n_ch, t_blk, n_parts, precision, split3):
     # The t_blk main rows and the n_parts-1 boundary rows arrive as two
@@ -220,6 +234,11 @@ def fused_logmel_iv(x: jnp.ndarray, *, n_fft: int = 1024, hop: int = 240,
 
     B, C, N = x.shape
     assert C == 4, "FOA input required"
+    if hop >= n_fft:
+        raise NotImplementedError(
+            f"fused_logmel_iv requires hop < n_fft (got hop={hop}, "
+            f"n_fft={n_fft}): the hop-row DFT decomposition needs at least "
+            "one boundary row — use ops.features' XLA extractor instead")
     n_freqs = n_fft // 2 + 1
     n_frames = 1 + N // hop  # torch center=True frame count
     t_pad = -(-n_frames // t_blk) * t_blk
@@ -238,7 +257,7 @@ def fused_logmel_iv(x: jnp.ndarray, *, n_fft: int = 1024, hop: int = 240,
 
     n_parts = n_fft // hop + (1 if n_fft % hop else 0)
     bnd = n_parts - 1
-    bnd_blk = -(-bnd // 8) * 8  # sublane-aligned boundary block height
+    bnd_blk = _bnd_blk(bnd, t_blk)  # sublane-aligned boundary block height
     assert bnd >= 1 and t_blk % 8 == 0, (t_blk, n_parts)
 
     # hop-length rows, un-duplicated: each grid cell reads its t_blk main
@@ -319,7 +338,8 @@ def _call_radix2(x, *, pl, pltpu, n_fft, hop, window, n_mels, sample_rate,
     n_freqs = n_fft // 2 + 1
     n_parts = -(-hf // hh)
     bnd = n_parts - 1
-    bnd_blk = -(-bnd // 8) * 8
+    assert bnd >= 1 and t_blk % 8 == 0, (t_blk, n_parts)
+    bnd_blk = _bnd_blk(bnd, t_blk)
 
     # reflect pad + zero tail as ONE concatenate (single copy), then
     # decimate into the even/odd streams; rows stay un-duplicated — each

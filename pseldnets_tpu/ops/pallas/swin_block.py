@@ -75,7 +75,8 @@ def _gelu_poly(x: jnp.ndarray) -> jnp.ndarray:
     return (0.5 * xf * (1.0 + u * p)).astype(x.dtype)
 
 
-def _ln(xf: jnp.ndarray, scale, bias, fast: bool = False) -> jnp.ndarray:
+def _ln(xf: jnp.ndarray, scale, bias, fast: bool = False,
+        eps: float = 1e-5) -> jnp.ndarray:
     m = jnp.mean(xf, axis=-1, keepdims=True)
     if fast:
         # single-pass E[x^2]-m^2 (bf16 path only: the ~1e-7 f32 cancellation
@@ -83,7 +84,17 @@ def _ln(xf: jnp.ndarray, scale, bias, fast: bool = False) -> jnp.ndarray:
         v = jnp.maximum(jnp.mean(xf * xf, axis=-1, keepdims=True) - m * m, 0.0)
     else:
         v = jnp.mean((xf - m) ** 2, axis=-1, keepdims=True)
-    return (xf - m) * jax.lax.rsqrt(v + 1e-5) * scale + bias
+    return (xf - m) * jax.lax.rsqrt(v + eps) * scale + bias
+
+
+def _mlp_chunks(total_rows: int, min_rows: int = 512) -> int:
+    """Largest chunk count in {4, 2, 1} that DIVIDES total_rows with chunks
+    of >= min_rows (non-divisible counts would drop rows — the auto-group
+    can pick G=7, making G*L indivisible by 3/4)."""
+    for cand in (4, 2):
+        if total_rows % cand == 0 and total_rows // cand >= min_rows:
+            return cand
+    return 1
 
 
 def _softmax(s: jnp.ndarray, fast: bool = False) -> jnp.ndarray:
@@ -183,7 +194,7 @@ def _block_kernel(x_ref, dp_ref, ln1s, ln1b, qkvw, qkvb, projw, projb,
     # whole (G*L, hidden) buffer in VMEM at once
     outs = []
     if has_dp:
-        n_chunks = max(1, min(4, L // 512))
+        n_chunks = _mlp_chunks(L)
         rows = L // n_chunks
         for g in range(G):
             m1g = dp_ref[base + g, 1].astype(cd)
@@ -191,7 +202,7 @@ def _block_kernel(x_ref, dp_ref, ln1s, ln1b, qkvw, qkvb, projw, projb,
                 yc = y[g * L + c * rows: g * L + (c + 1) * rows]
                 outs.append((yc + m1g * mlp(yc)).astype(out_ref.dtype))
     else:
-        n_chunks = max(1, min(4, (G * L) // 512))
+        n_chunks = _mlp_chunks(G * L)
         rows = (G * L) // n_chunks
         for c in range(n_chunks):
             yc = y[c * rows:(c + 1) * rows]
@@ -373,7 +384,7 @@ def _stage_kernel(x_ref, ln1s, ln1b, qkvw, qkvb, projw, projb,
                             preferred_element_type=jnp.float32)
                     + fc2b[d]).astype(cd)
 
-        n_chunks = max(1, min(4, (G * L) // 512))
+        n_chunks = _mlp_chunks(G * L)
         rows = (G * L) // n_chunks
         x0 = jnp.concatenate(
             [y[c * rows:(c + 1) * rows] + mlp(y[c * rows:(c + 1) * rows])

@@ -23,19 +23,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .swin_block import _gelu_exact, _gelu_poly, _softmax
+from .swin_block import (_gelu_exact, _gelu_poly, _mlp_chunks, _softmax,
+                         _ln as _ln_eps)
 
 Dtype = Any
 
 
-def _ln(xf: jnp.ndarray, scale, bias, eps: float,
-        fast: bool = False) -> jnp.ndarray:
-    m = jnp.mean(xf, axis=-1, keepdims=True)
-    if fast:  # single-pass stats, bf16 path only (see swin_block._ln)
-        v = jnp.maximum(jnp.mean(xf * xf, axis=-1, keepdims=True) - m * m, 0.0)
-    else:
-        v = jnp.mean((xf - m) ** 2, axis=-1, keepdims=True)
-    return (xf - m) * jax.lax.rsqrt(v + eps) * scale + bias
+def _ln(xf, scale, bias, eps, fast=False):
+    return _ln_eps(xf, scale, bias, fast, eps)
 
 
 def _vit_kernel(x_ref, ln1s, ln1b, qkvw, qkvb, projw, projb,
@@ -82,11 +77,7 @@ def _vit_kernel(x_ref, ln1s, ln1b, qkvw, qkvb, projw, projb,
                 + fc2b[0]).astype(cd)
 
     # chunk the MLP so the (rows, hidden) f32 intermediate stays small
-    n_chunks = 1
-    for cand in (4, 2):
-        if (G * N) % cand == 0 and (G * N) // cand >= 256:
-            n_chunks = cand
-            break
+    n_chunks = _mlp_chunks(G * N, min_rows=256)
     rows = (G * N) // n_chunks
     outs = [(y[c * rows:(c + 1) * rows]
              + mlp(y[c * rows:(c + 1) * rows])).astype(out_ref.dtype)

@@ -332,10 +332,12 @@ class SELDTask:
             self._eval_step_fn = self._make_eval_step()
         batch_x = jnp.asarray(np.asarray(batch["data"], np.float32))
         # uneven final validation batches: NamedSharding requires the batch
-        # dim divisible by the mesh — pad with repeats, slice preds back
-        # (also keeps the 5s-concat pairing even)
+        # dim divisible by the mesh, and the 5s-concat path (heads.py) needs
+        # an EVEN batch — pad with repeats to lcm(mesh, 2), slice preds back
+        import math
+
         B = batch_x.shape[0]
-        pad = (-B) % self.mesh.size
+        pad = (-B) % math.lcm(self.mesh.size, 2)
         if pad:
             batch_x = jnp.concatenate(
                 [batch_x, jnp.repeat(batch_x[-1:], pad, axis=0)], axis=0)
