@@ -96,3 +96,34 @@ def test_no_baked_unresolved_interpolations():
 
     walk(dict(cfg))
     assert not bad, bad
+
+
+def test_all_experiment_configs_compose():
+    """Every experiment yaml (incl. the dcase2021/l3das22/starss23 transfer
+    surface) must compose against the train root, and the config tree must
+    match the reference's groups file-for-file (additive files excepted)."""
+    import glob
+
+    from pseldnets_tpu.config import compose
+
+    root = os.path.join(os.path.dirname(__file__), "..", "configs")
+    exps = sorted(glob.glob(os.path.join(root, "experiment", "**", "*.yaml"),
+                            recursive=True))
+    assert len(exps) >= 21
+    for f in exps:
+        rel = os.path.relpath(f, os.path.join(root, "experiment"))[:-5]
+        cfg = compose(root, "train", [f"experiment={rel}"])
+        assert cfg["model"]["method"] in ("accdoa", "multi_accdoa", "einv2")
+        assert cfg["trainer"]["max_epochs"] > 0
+
+    # dataset-specific spot checks (reference configs/data/*)
+    cfg = compose(root, "train", ["experiment=l3das22/maccdoa"])
+    assert cfg["data"]["sample_rate"] == 32000 and cfg["data"]["hoplen"] == 320
+    cfg = compose(root, "train", ["experiment=dcase2021/finetune_maccdoa"])
+    assert cfg["model"]["kwargs"]["pretrained_path"].endswith(
+        "mACCDOA-HTSAT-0.567.ckpt")
+    cfg = compose(root, "train",
+                  ["experiment=l3das22/finetune_maccdoa_ov1_adapterbit"])
+    assert cfg["adapt"]["method"] == "adapter"
+    cfg = compose(root, "train", ["experiment=starss23/maccdoa_augmix1"])
+    assert cfg["augment"]["AugMix"] is True
