@@ -81,9 +81,23 @@ class _PrefetchIterator:
                         items = [self.dataset[int(i)] for i in batch_idx]
                     batch = collate(items)
                     self._produced += 1
-                    self.q.put(batch)
+                    if not self._put(batch):
+                        return
         finally:
-            self.q.put(None)
+            self._put(None)
+
+    def _put(self, item) -> bool:
+        """Bounded put that keeps checking the stop flag — a consumer that
+        abandons the iterator mid-stream (limit_batches, exceptions) must
+        not leave this thread blocked in q.put forever, leaking the thread,
+        its executor pool and open file handles every epoch."""
+        while not self._stop.is_set():
+            try:
+                self.q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def __iter__(self):
         return self
@@ -95,7 +109,15 @@ class _PrefetchIterator:
         return item
 
     def close(self):
+        """Unblock and retire the worker; safe to call multiple times."""
         self._stop.set()
+        try:  # drain one slot so a worker blocked in q.put exits promptly
+            self.q.get_nowait()
+        except queue.Empty:
+            pass
+
+    def __del__(self):
+        self.close()
 
 
 class SELDDataModule:

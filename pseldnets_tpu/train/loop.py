@@ -152,22 +152,31 @@ def run_validation(task, datamodule, state, metrics: SELDMetrics,
     agg = Aggregator(task.cfg, task.method, task.num_classes, task.label_res)
     val_losses = {k: MeanMeter() for k in task.loss.loss_dict_keys}
     post = task.cfg.get("post_processing")
-    for bi, batch in enumerate(datamodule.val_dataloader()):
-        if limit_batches is not None and bi >= limit_batches:
-            break
-        preds = task.eval_step(state, batch, post_processing=post)
-        agg.append(preds)
-        if compute_loss:
-            import jax.numpy as jnp
+    loss_fn = task.jitted_loss() if compute_loss else None
+    loader = datamodule.val_dataloader()
+    try:
+        for bi, batch in enumerate(loader):
+            if limit_batches is not None and bi >= limit_batches:
+                break
+            preds = task.eval_step(state, batch, post_processing=post)
+            agg.append(preds)
+            if compute_loss:
+                import jax.numpy as jnp
 
-            targets = {k: jnp.asarray(v) for k, v in batch.items()
-                       if "label" in k}
-            if targets:
-                losses = task.loss(
-                    {k: jnp.asarray(np.asarray(v)) for k, v in preds.items()},
-                    targets)
-                for k, v in losses.items():
-                    val_losses[k].update(float(v) if not isinstance(v, float) else v)
+                targets = {k: jnp.asarray(np.asarray(v))
+                           for k, v in batch.items() if "label" in k}
+                if targets:
+                    # one jitted dispatch; MeanMeter defers the host fetch
+                    # to epoch end (eager per-op relay round-trips are ~25 ms
+                    # each — CLAUDE.md)
+                    losses = loss_fn(
+                        {k: jnp.asarray(np.asarray(v))
+                         for k, v in preds.items()}, targets)
+                    for k, v in losses.items():
+                        val_losses[k].update(v)
+    finally:
+        if hasattr(loader, "close"):
+            loader.close()
 
     pred_sed, pred_doa = agg.aggregate(datamodule.paths_dict)
     metrics.reset()
@@ -207,6 +216,20 @@ def run_test(task, datamodule, state, submissions_dir: Path):
     log.info("Results are saved to %s", submissions_dir)
 
 
+def effective_steps_per_epoch(datamodule, cfg) -> int:
+    """Steps actually run per epoch, honoring trainer.limit_train_batches.
+    The OPTIMIZER must be built with this same number — the per-epoch LR
+    schedulers (StepLR etc.) map step -> epoch via steps_per_epoch, and the
+    reference steps its scheduler once per real epoch regardless of the
+    limit (Lightning semantics)."""
+    steps = datamodule.steps_per_epoch()
+    limit_train = cfg.get("trainer", {}).get("limit_train_batches")
+    if limit_train:
+        steps = max(int(steps * float(limit_train))
+                    if limit_train <= 1 else int(limit_train), 1)
+    return steps
+
+
 def fit(task, datamodule, state, cfg, output_dir: Path):
     """Training loop: epochs of train steps + per-epoch validation + orbax
     checkpointing on val/macro/SELD_scr (min)."""
@@ -215,12 +238,7 @@ def fit(task, datamodule, state, cfg, output_dir: Path):
     trainer_cfg = cfg.get("trainer", {})
     max_epochs = int(trainer_cfg.get("max_epochs", 50))
     check_every = int(trainer_cfg.get("check_val_every_n_epoch", 1))
-    limit_train = trainer_cfg.get("limit_train_batches")
-
-    steps_per_epoch = datamodule.steps_per_epoch()
-    if limit_train:
-        steps_per_epoch = max(int(steps_per_epoch * float(limit_train))
-                              if limit_train <= 1 else int(limit_train), 1)
+    steps_per_epoch = effective_steps_per_epoch(datamodule, cfg)
 
     from ..utils.utilities import flatten_metrics, instantiate_loggers
 

@@ -21,7 +21,7 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..augment import (Crop, FreqShift, Rotation, RotationDevice, SpecAugment,
-                       TrackMix, TrackMixDevice, WavMix)
+                       TrackMixDevice, WavMix)
 from ..losses import build_loss
 from ..models import build_model
 from ..ops import make_extractor
@@ -67,22 +67,25 @@ class SELDTask:
         self.augmix = bool(aug.get("AugMix", False))
         xy_ratio = cfg["data"]["sample_rate"] / cfg["data"]["hoplen"] * self.label_res
         self._np_rng = np.random.RandomState(cfg.get("seed", 2024))
+        # device-side rotation: opt-in via rotate.on_device, and only legal
+        # when wavmix is absent (the reference applies rotate BEFORE wavmix
+        # on the host). Pop the knob BEFORE building the host Rotation —
+        # wave_np.Rotation takes no such kwarg.
+        rotate_cfg = _kw(aug.get("rotate"))
+        on_device = rotate_cfg.pop("on_device", False)
         self.wave_augs = {
-            "rotate": Rotation(**_kw(aug.get("rotate")), rng=self._np_rng),
+            "rotate": Rotation(**rotate_cfg, rng=self._np_rng),
             "wavmix": WavMix(**_kw(aug.get("wavmix")), rng=self._np_rng),
-            "trackmix": TrackMix(**_kw(aug.get("trackmix")), rng=self._np_rng),
         }
         self.tf_augs = {
             "specaug": SpecAugment(xy_ratio=xy_ratio, **_kw(aug.get("specaug"))),
             "crop": Crop(**_kw(aug.get("crop"))),
             "freqshift": FreqShift(**_kw(aug.get("freqshift"))),
+            # trackmix runs on-device only (TrackMixDevice inside the jitted
+            # TF chain) — there is deliberately no host TrackMix instance
             "trackmix": TrackMixDevice(**_kw(aug.get("trackmix"))),
         }
-        # device-side rotation: opt-in, and only legal when wavmix is absent
-        # (the reference applies rotate BEFORE wavmix on the host)
-        rotate_cfg = _kw(aug.get("rotate"))
-        self.rotate_on_device = (rotate_cfg.pop("on_device", False)
-                                 and "rotate" in self.aug_type
+        self.rotate_on_device = (on_device and "rotate" in self.aug_type
                                  and "wavmix" not in self.aug_type)
         self.rotate_device = RotationDevice(**rotate_cfg) if self.rotate_on_device             else None
         aug_tf = [a for a in self.aug_type if a in TF_AUG_ORDER]
@@ -283,6 +286,14 @@ class SELDTask:
         return jax.jit(eval_step)
 
     # ---------------------------------------------------------------- public
+    def jitted_loss(self):
+        """One-dispatch loss for validation (eager per-op relay round-trips
+        are ~25 ms each — CLAUDE.md); cached per task."""
+        if getattr(self, "_jitted_loss_fn", None) is None:
+            self._jitted_loss_fn = jax.jit(
+                lambda preds, targets: self.loss(preds, targets))
+        return self._jitted_loss_fn
+
     def sample_aug_flags(self) -> np.ndarray:
         """(2, len(TF_AUG_ORDER)) booleans: per-AugMix-copy random subset of the
         configured TF augs (reference augment_data, model_module.py:115-121)."""
@@ -314,6 +325,11 @@ class SELDTask:
             self._train_step_fn = self._make_train_step()
         batch_x = np.asarray(batch["data"], np.float32)
         targets = {k: v for k, v in batch.items() if k != "data"}
+        # ov statistics are logged for the RAW loader batch (reference
+        # training_step model_module.py:71-73) — AugMix triplication and
+        # WavMix relabeling must not inflate them. The post-augment ov still
+        # feeds ov1_mask below (mixed clips are no longer ov1).
+        ov_raw = list(batch["ov"]) if "ov" in batch else None
         batch_x, targets = self.host_augment(batch_x, targets)
         label_targets = {k: jnp.asarray(v) for k, v in targets.items()
                          if isinstance(v, np.ndarray)}
@@ -325,19 +341,18 @@ class SELDTask:
                                jnp.asarray(np.asarray(ov) == "1"))
         new_state, losses = self._train_step_fn(state, batch_x, label_targets,
                                                 key, flags, ov1_mask)
-        return new_state, losses, targets.get("ov")
+        return new_state, losses, ov_raw
 
     def eval_step(self, state, batch: Dict, post_processing: Optional[str] = None):
         if self._eval_step_fn is None:
             self._eval_step_fn = self._make_eval_step()
         batch_x = jnp.asarray(np.asarray(batch["data"], np.float32))
         # uneven final validation batches: NamedSharding requires the batch
-        # dim divisible by the mesh, and the 5s-concat path (heads.py) needs
-        # an EVEN batch — pad with repeats to lcm(mesh, 2), slice preds back
-        import math
-
+        # dim divisible by the mesh, and the 5s-concat path (heads.py /
+        # serving) needs an EVEN batch PER DEVICE (shard_map runs it
+        # shard-locally) — pad with repeats to 2*mesh, slice preds back
         B = batch_x.shape[0]
-        pad = (-B) % math.lcm(self.mesh.size, 2)
+        pad = (-B) % (2 * self.mesh.size)
         if pad:
             batch_x = jnp.concatenate(
                 [batch_x, jnp.repeat(batch_x[-1:], pad, axis=0)], axis=0)

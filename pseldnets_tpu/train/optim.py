@@ -75,9 +75,6 @@ def trainable_mask(params, adapt_method: str):
     if "adapter" not in (adapt_method or ""):
         return jax.tree_util.tree_map(lambda _: True, params)
 
-    flat = {"/".join(map(str, k)): v
-            for k, v in jax.tree_util.tree_leaves_with_path(params)}
-
     def has_adapter():
         for path, _ in jax.tree_util.tree_leaves_with_path(params):
             name = "/".join(p.key for p in path if hasattr(p, "key"))

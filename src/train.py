@@ -45,7 +45,10 @@ def main(argv=None):
 
     devices = cfg.get("trainer", {}).get("devices", 1)
     num_devices = None if devices in (-1, "auto") else int(devices)
-    task = SELDTask(cfg, dataset, steps_per_epoch=datamodule.steps_per_epoch(),
+    from pseldnets_tpu.train.loop import effective_steps_per_epoch
+
+    task = SELDTask(cfg, dataset,
+                    steps_per_epoch=effective_steps_per_epoch(datamodule, cfg),
                     num_devices=num_devices)
     ckpt_path = cfg.get("ckpt_path")
     from pathlib import Path as _P
