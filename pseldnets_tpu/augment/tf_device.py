@@ -54,8 +54,11 @@ class SpecAugment:
             value = jax.random.uniform(kf1, (N, C)) * self.F
             min_v = jax.random.uniform(kf2, (N, C)) * (F_dim - value)
             f = jnp.arange(F_dim)
-            m = (f[None, None] >= min_v[..., None].astype(jnp.int32)) & \
-                (f[None, None] < (min_v + value)[..., None].astype(jnp.int32))
+            # raw-float boundary comparison, exactly torchaudio
+            # mask_along_axis_iid (flooring both ends shifted every mask one
+            # bin low)
+            m = (f[None, None] >= min_v[..., None]) & \
+                (f[None, None] < (min_v + value)[..., None])
             batch_x = jnp.where(m[:, :, None, :], self.mask_value, batch_x)
         return batch_x, new_target
 

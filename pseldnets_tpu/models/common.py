@@ -368,9 +368,13 @@ class Decoder(nn.Module):
         if self.decoder == "conformer":
             from .conformer import ConformerBlocks
 
+            # train = not deterministic: the conv module's BatchNorm must use
+            # batch stats (and update running stats) during training, like
+            # the reference's nn.BatchNorm1d
             return ConformerBlocks(encoder_dim=self.num_feats,
                                    num_layers=self.num_layers, dtype=self.dtype,
-                                   name="decoder")(x, deterministic=deterministic)
+                                   name="decoder")(x, train=not deterministic,
+                                                   deterministic=deterministic)
         if self.decoder == "transformer":
             h = x
             for i in range(self.num_layers):

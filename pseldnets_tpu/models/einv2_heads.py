@@ -133,8 +133,8 @@ class HTSAT(nn.Module):
 
         x = self.scalar(x, use_running_average=not train)
         det = not train
-        x_sed = self.sed_encoder.embed(x[:, :SED_IN_CHANNELS])
-        x_doa = self.doa_encoder.embed(x)
+        x_sed = self.sed_encoder.embed(x[:, :SED_IN_CHANNELS], det)
+        x_doa = self.doa_encoder.embed(x, det)
         for i in range(len(self.stitch1)):
             x_sed, x_doa = self.stitch1[i](x_sed, x_doa)
             x_sed = self.sed_encoder.run_stage(i, x_sed, det)

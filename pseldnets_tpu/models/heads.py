@@ -44,6 +44,14 @@ class CRNN(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
+        # the conv depth is inferred from num_features; validate it against
+        # the declared encoder so `encoder: CNN12` with a 4-entry
+        # num_features fails loudly like the reference's explicit class
+        # selection (accdoa.py:26-31) instead of silently building a CNN8
+        expected = {"CNN8": 4, "CNN12": 6}.get(self.encoder)
+        assert expected is None or len(self.num_features) == expected, (
+            f"encoder={self.encoder} expects {expected} num_features, "
+            f"got {len(self.num_features)}: {tuple(self.num_features)}")
         N, _, T, _ = x.shape
         output_frames = T // self.pred_res
 

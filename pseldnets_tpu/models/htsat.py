@@ -115,10 +115,14 @@ class WindowAttention(nn.Module):
             attn = attn.reshape(B_ // nW, nW, nh, N, N) + m[None, :, None]
             attn = attn.reshape(B_, nh, N, N)
         attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+        if not deterministic and self.attn_drop > 0:
+            attn = nn.Dropout(self.attn_drop, deterministic=False)(attn)
 
         x = jnp.einsum("bhnm,bhmd->bhnd", attn, v).transpose(0, 2, 1, 3).reshape(B_, N, C)
         x = AdaptDense(self.dim, dtype=self.dtype, name="proj",
                        **self.adapt.lora_linear_args())(x)
+        if not deterministic and self.proj_drop > 0:
+            x = nn.Dropout(self.proj_drop, deterministic=False)(x)
         if self.adapt.spatial_adapter:
             x = Adapter(dim=self.dim, dtype=self.dtype, name="adapter",
                         **self.adapt.adapter_args())(x) + x
@@ -344,12 +348,18 @@ class HTSATEncoder(nn.Module):
         x = jnp.transpose(x, (0, 1, 3, 2, 4))  # (B, C, r, F, T'/r)
         return x.reshape(B, C, r * F, target_T // r)
 
-    def embed(self, x: jnp.ndarray) -> jnp.ndarray:
-        """reshape_wav2img + patch embed (= reference forward_patch, htsat.py:547-553)."""
+    def embed(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        """reshape_wav2img + patch embed + pos dropout (= reference
+        forward_patch, htsat.py:547-553 incl. pos_drop :518/:552)."""
         x = self.reshape_wav2img(x)
         x = self.patch_embed(x)
         if self.ape:
             x = x + self.absolute_pos_embed.astype(x.dtype)
+        if not deterministic and self.drop_rate > 0 and not self.is_initializing():
+            # functional dropout: setup-style module, no inline submodules
+            keep = 1.0 - self.drop_rate
+            mask = jax.random.bernoulli(self.make_rng("dropout"), keep, x.shape)
+            x = jnp.where(mask, x / keep, jnp.zeros_like(x))
         return x
 
     def run_stage(self, i: int, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -370,7 +380,7 @@ class HTSATEncoder(nn.Module):
         return x
 
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
-        x = self.embed(x)
+        x = self.embed(x, deterministic)
         for i in range(self.num_layers):
             x = self.run_stage(i, x, deterministic)
         return self.finalize(x)

@@ -167,6 +167,13 @@ class PaSSTEncoder(nn.Module):
             x = jnp.concatenate([cls, dist, x], axis=1)
         else:
             x = jnp.concatenate([cls, x], axis=1)
+        if train and self.drop_rate > 0 and not self.is_initializing():
+            # reference pos_drop after the token concat (passt.py:356).
+            # Functional dropout: setup-style modules can't create inline
+            # submodules outside @compact.
+            keep = 1.0 - self.drop_rate
+            mask = jax.random.bernoulli(self.make_rng("dropout"), keep, x.shape)
+            x = jnp.where(mask, x / keep, jnp.zeros_like(x))
         return x
 
     def run_block(self, i: int, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:

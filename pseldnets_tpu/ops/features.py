@@ -151,7 +151,10 @@ def gcc_phat(real: jnp.ndarray, imag: jnp.ndarray, n_lags: int) -> jnp.ndarray:
     for m in range(C):
         for n in range(m + 1, C):
             r = jnp.conj(spec[:, m]) * spec[:, n]
-            phase = r / jnp.maximum(jnp.abs(r), EPS_F32)
+            # exp(1j*angle(R)) like the reference (feature.py:171): a ZERO
+            # cross-spectrum bin maps to 1 (angle(0)=0), not 0 — r/|r|
+            # normalization diverges on digital silence
+            phase = jnp.exp(1j * jnp.angle(r))
             cc = jnp.fft.irfft(phase, axis=-1)  # (B, T, n_fft)
             cc = jnp.concatenate([cc[..., -n_lags // 2:], cc[..., : n_lags // 2]], axis=-1)
             outs.append(cc)
@@ -183,8 +186,11 @@ def salsa_lite(real: jnp.ndarray, imag: jnp.ndarray, sr: int, n_fft: int,
     phase = jnp.angle(spec[:, 1:] * jnp.conj(spec[:, :1]))  # (B, C-1, T, F)
     phase = phase / (delta * jnp.asarray(freq_idx)[None, None, None, :])
     phase = phase[..., lower_bin:cutoff_bin]
-    # zero out bins above the DOA aliasing limit
-    keep = (np.arange(lower_bin, cutoff_bin) < upper_bin).astype(np.float32)
+    # zero out bins above the DOA aliasing limit. The reference zeroes
+    # SLICED index upper_bin onward (feature.py:182-183, after the
+    # lower_bin:cutoff_bin slice) — i.e. absolute bins >= lower_bin +
+    # upper_bin, not absolute upper_bin.
+    keep = (np.arange(cutoff_bin - lower_bin) < upper_bin).astype(np.float32)
     phase = phase * jnp.asarray(keep)[None, None, None, :]
 
     power = real * real + imag * imag

@@ -170,8 +170,11 @@ def test_salsa_lite_layout(rng):
     upper = int(np.floor(2000.0 * n_fft / sr))
     cutoff = int(np.floor(9000.0 * n_fft / sr))
     assert out.shape == (1, 7, re.shape[2], cutoff - lower)
-    # phase channels above the aliasing bin must be exactly zero
-    assert np.all(out[:, 4:, :, upper - lower:] == 0.0)
+    # phase channels above the aliasing bin must be exactly zero. The
+    # reference zeroes SLICED index `upper` onward (feature.py:182-183) —
+    # sliced index upper == absolute bin lower+upper.
+    assert np.all(out[:, 4:, :, upper:] == 0.0)
+    assert np.any(out[:, 4:, :, upper - 1] != 0.0)
     # log-power channel matches direct computation
     ref = 10 * np.log10(np.maximum(np.abs(np.asarray(re[0, 0]) + 1j * np.asarray(im[0, 0])) ** 2, 1e-10))
     np.testing.assert_allclose(out[0, 0], ref[:, lower:cutoff], atol=1e-4)
