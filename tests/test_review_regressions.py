@@ -86,3 +86,42 @@ def test_frontend_hop_ge_nfft_raises():
     x = jnp.zeros((1, 4, 32000), jnp.float32)
     with pytest.raises(NotImplementedError):
         fused_logmel_iv(x, n_fft=256, hop=320, interpret=True)
+
+
+def test_rotate_on_device_constructs(rng):
+    """augment.rotate.on_device=true used to crash SELDTask construction
+    (the knob reached the host Rotation's __init__)."""
+    import __graft_entry__ as g
+    from pseldnets_tpu.data.datasets import BaseDatasetSpec
+    from pseldnets_tpu.train.module import SELDTask
+
+    cfg = g._base_cfg(tiny=True)
+    cfg["augment"]["type"] = ["rotate"]
+    cfg["augment"]["rotate"]["on_device"] = True
+
+    class _Spec(BaseDatasetSpec):
+        def __init__(self):
+            super().__init__()
+            self.label_dic = {f"c{i}": i for i in range(4)}
+            self.max_ov = 3
+
+    task = SELDTask(cfg, _Spec(), steps_per_epoch=2, num_devices=1)
+    assert task.rotate_on_device and task.rotate_device is not None
+
+
+def test_decoder_conformer_bn_trains(rng):
+    """The Decoder wrapper must run the conformer's BatchNorm in batch-stats
+    mode during training (it previously pinned use_running_average=True)."""
+    from pseldnets_tpu.models.common import Decoder
+
+    dec = Decoder(decoder="conformer", num_feats=16, num_layers=1)
+    x = jnp.asarray(rng.standard_normal((2, 12, 16)).astype(np.float32))
+    vs = dec.init({"params": jax.random.PRNGKey(0)}, x)
+    before = jax.tree_util.tree_leaves(vs["batch_stats"])
+    _, upd = dec.apply(vs, x, deterministic=False,
+                       mutable=["batch_stats"],
+                       rngs={"dropout": jax.random.PRNGKey(1)})
+    after = jax.tree_util.tree_leaves(upd["batch_stats"])
+    changed = any(not np.allclose(np.asarray(a), np.asarray(b))
+                  for a, b in zip(before, after))
+    assert changed, "conformer BatchNorm running stats did not update in train"
