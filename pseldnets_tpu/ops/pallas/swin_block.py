@@ -483,3 +483,199 @@ def swin_stage_fused(x: jnp.ndarray, blocks, *, H: int, W: int, nh: int,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*args)
+
+
+# --------------------------------------------------------------------------
+# Stage fusion v2: grid over (batch, depth) with the token activations
+# CARRIED in the revisited output block, instead of a Python-unrolled
+# depth loop. The unrolled _stage_kernel compiles one Mosaic program with
+# depth copies of the block body — stage 2 (6 blocks) reproducibly hung
+# Mosaic for 35+ min on v5e. Here the kernel body contains exactly TWO
+# block instances (unshifted / shifted, selected by pl.when on d % 2, so
+# every jnp.roll shift stays static), and per-block weights stream in via
+# depth-indexed BlockSpecs, which also caps weight VMEM at one block.
+# --------------------------------------------------------------------------
+
+
+def _stage2_kernel(x_ref, ln1s, ln1b, qkvw, qkvb, projw, projb,
+                   ln2s, ln2b, fc1w, fc1b, fc2w, fc2b, bias_ref, mask_ref,
+                   out_ref, *, H, W, C, nh, w, base_shift, hidden, has_mask,
+                   compute_dtype):
+    from jax.experimental import pallas as pl
+
+    N = w * w
+    nW = (H // w) * (W // w)
+    hd = C // nh
+    scale = hd ** -0.5
+    cd = compute_dtype
+    G, L = x_ref.shape[0], H * W
+    fast = False  # see _block_kernel
+
+    d = pl.program_id(1)
+    # carry: block 0 reads the kernel input; later blocks read the
+    # revisited output block (same index map -> still resident)
+    x0 = jnp.where(d == 0, x_ref[:], out_ref[:]).astype(cd)
+
+    def block_body(x0, shift):
+        h = _ln(x0.astype(jnp.float32), ln1s[0, 0], ln1b[0, 0],
+                fast).astype(cd)
+        img = h.reshape(G, H, W, C)
+        if shift:
+            img = jnp.roll(img, shift=(-shift, -shift), axis=(1, 2))
+        win = img.reshape(G, H // w, w, W // w, w, C)
+        win = jnp.transpose(win, (0, 1, 3, 2, 4, 5)).reshape(G * nW * N, C)
+
+        qkv = jnp.dot(win, qkvw[0].astype(cd),
+                      preferred_element_type=jnp.float32) + qkvb[0]
+        qkv = qkv.astype(cd)
+        heads = []
+        for hh in range(nh):
+            q = qkv[:, hh * hd:(hh + 1) * hd].reshape(G * nW, N, hd)
+            k = qkv[:, C + hh * hd: C + (hh + 1) * hd].reshape(G * nW, N, hd)
+            v = qkv[:, 2 * C + hh * hd: 2 * C + (hh + 1) * hd].reshape(
+                G * nW, N, hd)
+            s = jax.lax.dot_general(q * jnp.asarray(scale, cd), k,
+                                    (((2,), (2,)), ((0,), (0,))),
+                                    preferred_element_type=jnp.float32)
+            s = s + bias_ref[0, hh][None]
+            if has_mask and shift:
+                s = (s.reshape(G, nW, N, N)
+                     + mask_ref[:][None]).reshape(G * nW, N, N)
+            p = _softmax(s, fast).astype(cd)
+            o = jax.lax.dot_general(p, v, (((2,), (1,)), ((0,), (0,))),
+                                    preferred_element_type=jnp.float32)
+            heads.append(o.reshape(G * nW * N, hd))
+        attn = jnp.concatenate(heads, axis=-1).astype(cd)
+        attn = (jnp.dot(attn, projw[0].astype(cd),
+                        preferred_element_type=jnp.float32)
+                + projb[0]).astype(cd)
+
+        img2 = attn.reshape(G, H // w, W // w, w, w, C)
+        img2 = jnp.transpose(img2, (0, 1, 3, 2, 4, 5)).reshape(G, H, W, C)
+        if shift:
+            img2 = jnp.roll(img2, shift=(shift, shift), axis=(1, 2))
+        y = (x0 + img2.reshape(G, L, C)).reshape(G * L, C)
+
+        def mlp(yc):
+            h2 = _ln(yc.astype(jnp.float32), ln2s[0, 0], ln2b[0, 0],
+                     fast).astype(cd)
+            f = jnp.dot(h2, fc1w[0].astype(cd),
+                        preferred_element_type=jnp.float32) + fc1b[0]
+            f = (_gelu_poly(f) if cd == jnp.bfloat16
+                 else _gelu_exact(f)).astype(cd)
+            return (jnp.dot(f, fc2w[0].astype(cd),
+                            preferred_element_type=jnp.float32)
+                    + fc2b[0]).astype(cd)
+
+        n_chunks = _mlp_chunks(G * L)
+        rows = (G * L) // n_chunks
+        return jnp.concatenate(
+            [y[c * rows:(c + 1) * rows] + mlp(y[c * rows:(c + 1) * rows])
+             for c in range(n_chunks)], axis=0).reshape(G, L, C)
+
+    if base_shift == 0:
+        out_ref[:] = block_body(x0, 0).astype(out_ref.dtype)
+    else:
+        @pl.when(d % 2 == 0)
+        def _():
+            out_ref[:] = block_body(x0, 0).astype(out_ref.dtype)
+
+        @pl.when(d % 2 == 1)
+        def _():
+            out_ref[:] = block_body(x0, base_shift).astype(out_ref.dtype)
+
+
+def swin_stage_fused_v2(x: jnp.ndarray, blocks, *, H: int, W: int, nh: int,
+                        window: int, shifts, compute_dtype=jnp.bfloat16,
+                        group: int = 0, interpret: bool = False) -> jnp.ndarray:
+    """Grid-over-depth whole-stage kernel; semantics == swin_stage_fused.
+
+    ``shifts`` must follow the reference pattern (0 for even blocks,
+    a single base shift for odd blocks)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, L, C = x.shape
+    w = window
+    N = w * w
+    depth = len(blocks)
+    shifts = tuple(shifts)
+    base_shift = max(shifts)
+    assert all(s == (0 if j % 2 == 0 else base_shift)
+               for j, s in enumerate(shifts)), shifts
+
+    G = group or max(1, (8192 * 96) // (L * C))
+    while B % G:
+        G -= 1
+
+    def dense(d):
+        return d["base"] if "base" in d else d
+
+    wd = compute_dtype
+
+    def stack(get, dtype):
+        return jnp.stack([jnp.asarray(get(p), dtype) for p in blocks])
+
+    def stack1(get):
+        return jnp.stack([jnp.asarray(get(p), jnp.float32).reshape(1, -1)
+                          for p in blocks])
+
+    hidden = dense(blocks[0]["mlp"]["fc1"])["kernel"].shape[1]
+    bias = jnp.stack([_rel_bias(p["attn"]["relative_position_bias_table"],
+                                w, nh) for p in blocks])
+    if base_shift > 0:
+        from ...models.htsat import shift_attn_mask
+
+        mask = jnp.asarray(shift_attn_mask(H, W, w, base_shift))
+        has_mask = True
+    else:
+        mask = jnp.zeros((1, N, N), jnp.float32)
+        has_mask = False
+
+    args = [
+        x,
+        stack1(lambda p: p["norm1"]["scale"]),
+        stack1(lambda p: p["norm1"]["bias"]),
+        stack(lambda p: dense(p["attn"]["qkv"])["kernel"], wd),
+        stack1(lambda p: dense(p["attn"]["qkv"])["bias"]),
+        stack(lambda p: dense(p["attn"]["proj"])["kernel"], wd),
+        stack1(lambda p: dense(p["attn"]["proj"])["bias"]),
+        stack1(lambda p: p["norm2"]["scale"]),
+        stack1(lambda p: p["norm2"]["bias"]),
+        stack(lambda p: dense(p["mlp"]["fc1"])["kernel"], wd),
+        stack1(lambda p: dense(p["mlp"]["fc1"])["bias"]),
+        stack(lambda p: dense(p["mlp"]["fc2"])["kernel"], wd),
+        stack1(lambda p: dense(p["mlp"]["fc2"])["bias"]),
+        bias, mask,
+    ]
+
+    perd = lambda *shape: pl.BlockSpec(  # noqa: E731  depth-indexed block
+        (1,) + shape, lambda b, d: (d,) + (0,) * len(shape),
+        memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((G, L, C), lambda b, d: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        perd(1, C), perd(1, C),
+        perd(C, 3 * C), perd(1, 3 * C),
+        perd(C, C), perd(1, C),
+        perd(1, C), perd(1, C),
+        perd(C, hidden), perd(1, hidden),
+        perd(hidden, C), perd(1, C),
+        perd(nh, N, N),
+        pl.BlockSpec((mask.shape[0], N, N), lambda b, d: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    return pl.pallas_call(
+        partial(_stage2_kernel, H=H, W=W, C=C, nh=nh, w=w,
+                base_shift=base_shift, hidden=hidden, has_mask=has_mask,
+                compute_dtype=compute_dtype),
+        grid=(B // G, depth),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((G, L, C), lambda b, d: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, L, C), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(*args)

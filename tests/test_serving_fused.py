@@ -184,3 +184,52 @@ def test_swin_stage_kernel_parity(rng):
                                       interpret=True))
     assert np.abs(got - np.asarray(ref)).max() < 5e-5, \
         np.abs(got - np.asarray(ref)).max()
+
+
+def test_swin_stage_v2_kernel_parity(rng):
+    """Grid-over-depth stage kernel == sequential flax blocks (carry via the
+    revisited output block; shifted/unshifted bodies under pl.when)."""
+    from pseldnets_tpu.models.htsat import SwinTransformerBlock
+    from pseldnets_tpu.ops.pallas.swin_block import swin_stage_fused_v2
+
+    H = W = 16
+    C, nh, w = 32, 4, 8
+    x = jnp.asarray(rng.standard_normal((3, H * W, C)).astype(np.float32))
+    params = []
+    ref = x
+    for j, shift in enumerate((0, 4, 0, 4)):
+        blk = SwinTransformerBlock(dim=C, input_resolution=(H, W),
+                                   num_heads=nh, window_size=w,
+                                   shift_size=shift)
+        vs = blk.init(jax.random.PRNGKey(j), ref)
+        ref = blk.apply(vs, ref)
+        params.append(vs["params"])
+    got = np.asarray(swin_stage_fused_v2(x, params, H=H, W=W, nh=nh,
+                                         window=w, shifts=(0, 4, 0, 4),
+                                         compute_dtype=jnp.float32,
+                                         interpret=True))
+    assert np.abs(got - np.asarray(ref)).max() < 5e-5, \
+        np.abs(got - np.asarray(ref)).max()
+
+
+def test_swin_stage_v2_no_shift(rng):
+    """Clamped-window stages (all shifts 0) skip the pl.when branching."""
+    from pseldnets_tpu.models.htsat import SwinTransformerBlock
+    from pseldnets_tpu.ops.pallas.swin_block import swin_stage_fused_v2
+
+    H = W = 8
+    C, nh, w = 32, 4, 8
+    x = jnp.asarray(rng.standard_normal((2, H * W, C)).astype(np.float32))
+    params = []
+    ref = x
+    for j in range(2):
+        blk = SwinTransformerBlock(dim=C, input_resolution=(H, W),
+                                   num_heads=nh, window_size=w, shift_size=0)
+        vs = blk.init(jax.random.PRNGKey(j), ref)
+        ref = blk.apply(vs, ref)
+        params.append(vs["params"])
+    got = np.asarray(swin_stage_fused_v2(x, params, H=H, W=W, nh=nh,
+                                         window=w, shifts=(0, 0),
+                                         compute_dtype=jnp.float32,
+                                         interpret=True))
+    assert np.abs(got - np.asarray(ref)).max() < 5e-5
