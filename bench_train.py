@@ -65,7 +65,10 @@ def bench_mode(name, overrides):
 
     task = SELDTask(cfg, _Spec(), steps_per_epoch=100)
     state = task.init_state(jax.random.PRNGKey(0))
-    inner = task._make_train_step()
+    # donate=False: the step is re-traced inside the K-unrolled outer jit
+    # below, where donation would be ignored (with a warning); the production
+    # per-step dispatch keeps donation
+    inner = task._make_train_step(donate=False)
 
     rng = np.random.default_rng(0)
     sr = cfg["data"]["sample_rate"]

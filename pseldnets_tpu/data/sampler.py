@@ -46,8 +46,12 @@ class DistributedBatchSampler:
                 self.pointer = 0
                 if self.shuffle:
                     self.random_state.shuffle(self.indices)
+            # .copy(): a bare slice is a VIEW into self.indices, which the
+            # epoch-wrap reshuffle above mutates in place — a consumer that
+            # holds the batch past the epoch boundary would see it change
             yield self.indices[self.pointer + self.rank:
-                               self.pointer + self.batch_size: self.num_replicas]
+                               self.pointer + self.batch_size:
+                               self.num_replicas].copy()
             self.pointer += self.batch_size
 
     def __len__(self):

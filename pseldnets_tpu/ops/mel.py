@@ -25,7 +25,9 @@ def _hz_to_mel(f, scale: str):
     min_log_hz = 1000.0
     min_log_mel = (min_log_hz - f_min) / f_sp
     logstep = np.log(6.4) / 27.0
-    return np.where(f >= min_log_hz, min_log_mel + np.log(f / min_log_hz) / logstep, mel)
+    with np.errstate(divide="ignore"):  # f=0 hits log(0) in the unused branch
+        log_mel = min_log_mel + np.log(f / min_log_hz) / logstep
+    return np.where(f >= min_log_hz, log_mel, mel)
 
 
 def _mel_to_hz(m, scale: str):

@@ -13,7 +13,10 @@ Parity targets (reference src/preproc/preprocess.py):
   (:525-563) using this framework's own DSP ops (librosa-parity mel).
 """
 
+import itertools
 import shutil
+from collections import deque
+from functools import partial
 from pathlib import Path
 
 import h5py
@@ -21,6 +24,110 @@ import numpy as np
 
 from ..metrics.dcase import load_output_format_file, segment_index
 from ..utils.audio_io import audio_info, load_audio
+
+
+def _pmap(fn, items, num_workers: int, processes: bool = False):
+    """Ordered parallel map honoring the cfg ``num_workers`` knob (the
+    reference fans preproc out via hydra's joblib launcher, n_jobs=20 —
+    configs/preproc.yaml:6-14). Threads for GIL-releasing work (the native
+    audio decoder, jax dispatch); processes for the pure-Python label
+    parsers. Results come back in input order so HDF5 writes (main thread
+    only) stay byte-identical to the serial run."""
+    items = list(items)
+    if num_workers <= 1 or len(items) <= 1:
+        return [fn(it) for it in items]
+    from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
+
+    cls = ProcessPoolExecutor if processes else ThreadPoolExecutor
+    with cls(max_workers=min(num_workers, len(items))) as ex:
+        return list(ex.map(fn, items))
+
+
+def _bounded_pmap(fn, items, num_workers: int):
+    """Ordered generator version of ``_pmap`` (threads) keeping at most
+    ~2*num_workers results in flight — extract_mic_features holds ~10 MB per
+    clip, so a full list() would not scale to corpus size."""
+    items = list(items)
+    if num_workers <= 1 or len(items) <= 1:
+        for it in items:
+            yield fn(it)
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    window = 2 * num_workers
+    with ThreadPoolExecutor(max_workers=num_workers) as ex:
+        futs = deque()
+        it = iter(items)
+        for x in itertools.islice(it, window):
+            futs.append(ex.submit(fn, x))
+        while futs:
+            yield futs.popleft().result()
+            for x in itertools.islice(it, 1):
+                futs.append(ex.submit(fn, x))
+
+
+# --- per-file label builders (top-level so ProcessPoolExecutor can pickle) ---
+
+def _accdoa_arrays(meta_file: Path, K: int):
+    meta = load_output_format_file(meta_file)
+    num_frames = max(meta.keys()) + 1
+    se = np.zeros((num_frames, K), bool)
+    azi = np.zeros((num_frames, K), np.int16)
+    ele = np.zeros((num_frames, K), np.int8)
+    for frame, events in meta.items():
+        for ev in events:
+            se[frame, ev[0]] = 1
+            azi[frame, ev[0]] = ev[1]
+            ele[frame, ev[0]] = ev[2]
+    return meta_file.stem, se, azi, ele
+
+
+def _track_arrays(meta_file: Path, K: int, max_polyphony: int):
+    rows = []
+    with open(meta_file) as f:
+        for line in f:
+            if line.strip():
+                rows.append([float(v) for v in line.strip().split(",")])
+    num_frames = int(rows[-1][0]) + 1
+    sed = np.zeros((num_frames, max_polyphony, K), bool)
+    doa = np.zeros((num_frames, max_polyphony, 3), np.float32)
+    occupied = np.zeros((num_frames, max_polyphony), bool)
+    for row in rows:
+        frame, cls = int(row[0]), int(row[1])
+        azi, ele = row[3], row[4]
+        free = np.where(~occupied[frame])[0]
+        if len(free) == 0:
+            continue
+        trk = free[0]
+        a, e = azi * np.pi / 180, ele * np.pi / 180
+        sed[frame, trk, cls] = 1
+        doa[frame, trk] = (np.cos(e) * np.cos(a), np.cos(e) * np.sin(a),
+                           np.sin(e))
+        occupied[frame, trk] = True
+    return meta_file.stem, sed, doa
+
+
+def _adpit_arrays(meta_file: Path, K: int):
+    meta = load_output_format_file(meta_file)
+    num_frames = max(meta.keys()) + 1
+    se = np.zeros((num_frames, 6, K), bool)
+    azi = np.zeros((num_frames, 6, K), np.int16)
+    ele = np.zeros((num_frames, 6, K), np.int8)
+    for frame, events in meta.items():
+        events = sorted(events, key=lambda x: x[0])
+        group = []
+        for i, ev in enumerate(events):
+            group.append(ev)
+            if i != len(events) - 1 and ev[0] == events[i + 1][0]:
+                continue
+            # slots: a0 for 1 src, b0/b1 for 2, c0/c1/c2 for >= 3
+            slots = {1: [0], 2: [1, 2], 3: [3, 4, 5]}[min(len(group), 3)]
+            for slot, g in zip(slots, group):
+                se[frame, slot, g[0]] = 1
+                azi[frame, slot, g[0]] = g[1]
+                ele[frame, slot, g[0]] = g[2]
+            group = []
+    return meta_file.stem, se, azi, ele
 
 
 class Preprocess:
@@ -57,6 +164,7 @@ class Preprocess:
         self.meta_adpit_path = label_dir / f"adpit/{dataset_type}/{name}.h5"
         self.feature_h5_dir = data_dir / f"feature/{dataset_type}/{self.audio_feature}/{name}"
 
+        self.num_workers = int(cfg.get("num_workers", 8) or 1)
         self.data_type = "wav" if self.audio_feature in ("logmelIV", "logmel") else "feature"
         self.indexes_path_list = [
             data_dir / self.data_type / "{}/{}_{}sChunklen_{}sHoplen_train.csv".format(
@@ -78,8 +186,10 @@ class Preprocess:
                     files = sorted(self.data_dir["foa"].glob("*" + self.wav_format))
                     if self.cfg.get("dataset") == "L3DAS22":
                         files = [p for p in files if "_B.wav" not in str(p)]
-                    for p in files:
-                        n = audio_info(p)[0]
+                    # header probes release the GIL in the native decoder
+                    lengths = _pmap(lambda p: audio_info(p)[0], files,
+                                    self.num_workers)
+                    for p, n in zip(files, lengths):
                         idx, pad = segment_index(n, chunklen, hoplen, pad_last)
                         for (b, e), (pb, pa) in zip(idx, pad):
                             f.write(f"{p},{b},{e},{pb},{pa}\n")
@@ -106,18 +216,9 @@ class Preprocess:
         if self.meta_accdoa_path.is_file():
             self.meta_accdoa_path.unlink()
         with h5py.File(self.meta_accdoa_path, "w") as hf:
-            for meta_file in self._meta_files():
-                meta = load_output_format_file(meta_file)
-                num_frames = max(meta.keys()) + 1
-                se = np.zeros((num_frames, K), bool)
-                azi = np.zeros((num_frames, K), np.int16)
-                ele = np.zeros((num_frames, K), np.int8)
-                for frame, events in meta.items():
-                    for ev in events:
-                        se[frame, ev[0]] = 1
-                        azi[frame, ev[0]] = ev[1]
-                        ele[frame, ev[0]] = ev[2]
-                fn = meta_file.stem
+            for fn, se, azi, ele in _pmap(partial(_accdoa_arrays, K=K),
+                                          self._meta_files(),
+                                          self.num_workers, processes=True):
                 hf.create_dataset(f"{fn}/accdoa/se", data=se, dtype=bool)
                 hf.create_dataset(f"{fn}/accdoa/azi", data=azi, dtype=np.int16)
                 hf.create_dataset(f"{fn}/accdoa/ele", data=ele, dtype=np.int8)
@@ -129,29 +230,9 @@ class Preprocess:
         if self.meta_track_path.is_file():
             self.meta_track_path.unlink()
         with h5py.File(self.meta_track_path, "w") as hf:
-            for meta_file in self._meta_files():
-                rows = []
-                with open(meta_file) as f:
-                    for line in f:
-                        if line.strip():
-                            rows.append([float(v) for v in line.strip().split(",")])
-                num_frames = int(rows[-1][0]) + 1
-                sed = np.zeros((num_frames, max_polyphony, K), bool)
-                doa = np.zeros((num_frames, max_polyphony, 3), np.float32)
-                occupied = np.zeros((num_frames, max_polyphony), bool)
-                for row in rows:
-                    frame, cls = int(row[0]), int(row[1])
-                    azi, ele = row[3], row[4]
-                    free = np.where(~occupied[frame])[0]
-                    if len(free) == 0:
-                        continue
-                    trk = free[0]
-                    a, e = azi * np.pi / 180, ele * np.pi / 180
-                    sed[frame, trk, cls] = 1
-                    doa[frame, trk] = (np.cos(e) * np.cos(a), np.cos(e) * np.sin(a),
-                                       np.sin(e))
-                    occupied[frame, trk] = True
-                fn = meta_file.stem
+            for fn, sed, doa in _pmap(
+                    partial(_track_arrays, K=K, max_polyphony=max_polyphony),
+                    self._meta_files(), self.num_workers, processes=True):
                 hf.create_dataset(f"{fn}/sed_label", data=sed, dtype=bool)
                 hf.create_dataset(f"{fn}/doa_label", data=doa, dtype=np.float32)
 
@@ -161,27 +242,9 @@ class Preprocess:
         if self.meta_adpit_path.is_file():
             self.meta_adpit_path.unlink()
         with h5py.File(self.meta_adpit_path, "w") as hf:
-            for meta_file in self._meta_files():
-                meta = load_output_format_file(meta_file)
-                num_frames = max(meta.keys()) + 1
-                se = np.zeros((num_frames, 6, K), bool)
-                azi = np.zeros((num_frames, 6, K), np.int16)
-                ele = np.zeros((num_frames, 6, K), np.int8)
-                for frame, events in meta.items():
-                    events = sorted(events, key=lambda x: x[0])
-                    group = []
-                    for i, ev in enumerate(events):
-                        group.append(ev)
-                        if i != len(events) - 1 and ev[0] == events[i + 1][0]:
-                            continue
-                        # slots: a0 for 1 src, b0/b1 for 2, c0/c1/c2 for >= 3
-                        slots = {1: [0], 2: [1, 2], 3: [3, 4, 5]}[min(len(group), 3)]
-                        for slot, g in zip(slots, group):
-                            se[frame, slot, g[0]] = 1
-                            azi[frame, slot, g[0]] = g[1]
-                            ele[frame, slot, g[0]] = g[2]
-                        group = []
-                fn = meta_file.stem
+            for fn, se, azi, ele in _pmap(partial(_adpit_arrays, K=K),
+                                          self._meta_files(),
+                                          self.num_workers, processes=True):
                 hf.create_dataset(f"{fn}/adpit/se", data=se, dtype=bool)
                 hf.create_dataset(f"{fn}/adpit/azi", data=azi, dtype=np.int16)
                 hf.create_dataset(f"{fn}/adpit/ele", data=ele, dtype=np.int8)

@@ -48,8 +48,14 @@ def einv2_htsat_fused_forward(model, variables, x: jnp.ndarray,
         output_frames = T // mdl.pred_res
         five_sec = output_frames < mdl.tgt_output_frames
         if five_sec:
+            # same guards as the flax __call__ (einv2_heads.py): fail loudly
+            # on shapes the 5s-concat reshape would silently mispair
+            assert output_frames == mdl.tgt_output_frames // 2
+            assert B % 2 == 0
             x = jnp.concatenate([x[: B // 2, :, :-1], x[B // 2:, :, :-1]],
                                 axis=2)
+        elif output_frames > mdl.tgt_output_frames:
+            raise NotImplementedError
         x = mdl.scalar(x, use_running_average=True)
         x_sed = mdl.sed_encoder.embed(x[:, :SED_IN_CHANNELS])
         x_doa = mdl.doa_encoder.embed(x)

@@ -159,21 +159,21 @@ def run_validation(task, datamodule, state, metrics: SELDMetrics,
             if limit_batches is not None and bi >= limit_batches:
                 break
             preds = task.eval_step(state, batch, post_processing=post)
-            agg.append(preds)
             if compute_loss:
                 import jax.numpy as jnp
 
                 targets = {k: jnp.asarray(np.asarray(v))
                            for k, v in batch.items() if "label" in k}
                 if targets:
-                    # one jitted dispatch; MeanMeter defers the host fetch
-                    # to epoch end (eager per-op relay round-trips are ~25 ms
+                    # one jitted dispatch on the still-device preds (no
+                    # host round-trip), queued BEFORE agg.append forces the
+                    # blocking fetch; MeanMeter defers the scalar fetch to
+                    # epoch end (eager per-op relay round-trips are ~25 ms
                     # each — CLAUDE.md)
-                    losses = loss_fn(
-                        {k: jnp.asarray(np.asarray(v))
-                         for k, v in preds.items()}, targets)
+                    losses = loss_fn(preds, targets)
                     for k, v in losses.items():
                         val_losses[k].update(v)
+            agg.append(preds)
     finally:
         if hasattr(loader, "close"):
             loader.close()
@@ -182,9 +182,11 @@ def run_validation(task, datamodule, state, metrics: SELDMetrics,
     metrics.reset()
     frame_ind = 0
     for path, loc_frames in datamodule.paths_dict.items():
-        if frame_ind + loc_frames > len(pred_sed):
-            break  # truncated stream under limit_batches
         num_frames = agg.get_num_frames(loc_frames)
+        if frame_ind + num_frames > len(pred_sed):
+            break  # truncated stream under limit_batches: only score files
+            # whose full padded chunk span is present (the guard must match
+            # the num_frames advance below, not loc_frames)
         pred_dcase = agg.to_dcase_polar(pred_sed[frame_ind:frame_ind + loc_frames],
                                         pred_doa[frame_ind:frame_ind + loc_frames])
         gt_dcase = datamodule.valid_gt_dcaseformat[path]
@@ -242,7 +244,12 @@ def fit(task, datamodule, state, cfg, output_dir: Path):
 
     from ..utils.utilities import flatten_metrics, instantiate_loggers
 
-    loggers = instantiate_loggers(cfg.get("logger"), output_dir)
+    # multi-process: checkpoints/metric files are written by process 0 only
+    # (the state is fully replicated, and the saved trees are host numpy, so
+    # a rank-zero save is complete; every process still runs validation —
+    # PARITY deviation #3)
+    is_main = jax.process_index() == 0
+    loggers = instantiate_loggers(cfg.get("logger"), output_dir) if is_main else []
     limit_val = trainer_cfg.get("limit_val_batches")
     if limit_val is not None:
         limit_val = int(limit_val)
@@ -316,6 +323,13 @@ def fit(task, datamodule, state, cfg, output_dir: Path):
         train_losses = {k: MeanMeter() for k in task.loss.loss_dict_keys}
         stat = {"ov1": 0, "ov2": 0, "ov3": 0}
 
+        # start the device->host transfers for the per-epoch 'last' checkpoint
+        # now so they overlap validation instead of blocking the save below
+        for leaf in jax.tree_util.tree_leaves(
+                (state.params, state.batch_stats, state.opt_state)):
+            if hasattr(leaf, "copy_to_host_async"):
+                leaf.copy_to_host_async()
+
         if epoch % check_every == 0:
             macro, micro, val_losses = run_validation(task, datamodule, state, metrics,
                                                       limit_batches=limit_val)
@@ -323,7 +337,7 @@ def fit(task, datamodule, state, cfg, output_dir: Path):
             log.info("epoch %d val/macro: %s", epoch,
                      {k: round(v, 4) for k, v in macro.items()})
             score = macro["SELD_scr"]
-            if score < best_score:
+            if score < best_score and is_main:
                 best_score = score
                 checkpointer.save(ckpt_dir / f"epoch_{epoch:03d}",
                                   jax.device_get({"params": state.params,
@@ -336,7 +350,8 @@ def fit(task, datamodule, state, cfg, output_dir: Path):
                 for old in sorted(ckpt_dir.glob("epoch_*")):
                     if old.name != f"epoch_{epoch:03d}":
                         shutil.rmtree(old, ignore_errors=True)
-        checkpointer.save(ckpt_dir / "last",
+        if is_main:
+            checkpointer.save(ckpt_dir / "last",
                           jax.device_get({"params": state.params,
                                           "batch_stats": state.batch_stats,
                                           "opt_state": state.opt_state,
@@ -346,8 +361,9 @@ def fit(task, datamodule, state, cfg, output_dir: Path):
                           force=True)
         log.info("epoch %d/%d train: %s lr=%.2e", epoch, max_epochs,
                  {k: round(v, 4) for k, v in log_line["train"].items()}, lr)
-        with open(metrics_log, "a") as f:
-            f.write(json.dumps(log_line) + "\n")
+        if is_main:
+            with open(metrics_log, "a") as f:
+                f.write(json.dumps(log_line) + "\n")
         for lg in loggers:
             lg.log_metrics(flatten_metrics(log_line), epoch)
         if epoch >= max_epochs:

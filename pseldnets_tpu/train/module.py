@@ -25,7 +25,7 @@ from ..augment import (Crop, FreqShift, Rotation, RotationDevice, SpecAugment,
 from ..losses import build_loss
 from ..models import build_model
 from ..ops import make_extractor
-from ..parallel.mesh import make_mesh, replicate, shard_batch
+from ..parallel.mesh import make_local_mesh, make_mesh, replicate, shard_batch
 from .checkpoint import load_pretrained
 from .optim import build_optimizer
 
@@ -94,10 +94,17 @@ class SELDTask:
             self.aug_tf_comb += list(itertools.combinations(aug_tf, n))
 
         self.mesh = mesh or make_mesh(num_devices)
+        # validation runs the FULL set on every process (PARITY deviation #3),
+        # so eval shards over the local mesh; train shards over the global one
+        if mesh is not None or jax.process_count() == 1:
+            self.eval_mesh = self.mesh
+        else:
+            self.eval_mesh = make_local_mesh(num_devices)
         self._repl = NamedSharding(self.mesh, P())
         self._batch_shard = NamedSharding(self.mesh, P("data"))
         self._train_step_fn = None
         self._eval_step_fn = None
+        self._eval_state_cache = None
         self.tx = None
 
     # ------------------------------------------------------------------ init
@@ -185,7 +192,7 @@ class SELDTask:
             return self.extractor(batch_x)
         return batch_x
 
-    def _make_train_step(self):
+    def _make_train_step(self, donate: bool = True):
         def train_step(state: TrainState, batch_x, targets, key, aug_flags,
                        ov1_mask):
             if self.rotate_device is not None:
@@ -239,7 +246,9 @@ class SELDTask:
                              for k, v in losses.items()}
             return new_state, scalar_losses
 
-        return jax.jit(train_step, donate_argnums=(0,))
+        # donate=False for callers that re-trace the step inside an outer jit
+        # (donation is ignored there and warns — e.g. bench_train's K-unroll)
+        return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
     def _make_eval_step(self):
         from ..models import einv2_heads, heads
@@ -273,11 +282,11 @@ class SELDTask:
             if use_fused:
                 fwd = lambda v, f: fused_fn(  # noqa: E731
                     self.model, v, f, compute_dtype=self.model.dtype)
-                if self.mesh.size > 1:
+                if self.eval_mesh.size > 1:
                     from jax import shard_map
                     from jax.sharding import PartitionSpec as P
 
-                    fwd = shard_map(fwd, mesh=self.mesh,
+                    fwd = shard_map(fwd, mesh=self.eval_mesh,
                                     in_specs=(P(), P("data")),
                                     out_specs=P("data"), check_vma=False)
                 return fwd(variables, feats)
@@ -343,6 +352,25 @@ class SELDTask:
                                                 key, flags, ov1_mask)
         return new_state, losses, ov_raw
 
+    def _localize_for_eval(self, state):
+        """Copies of params/batch_stats on the local eval mesh.
+
+        In multi-process runs the train state lives replicated on the GLOBAL
+        mesh; a jit cannot mix global-mesh params with local-mesh batches.
+        Every process holds a full replica, so the fetch is local. Cached per
+        state object (one new state per epoch)."""
+        if self.eval_mesh is self.mesh:
+            return state.params, state.batch_stats
+        cached = self._eval_state_cache
+        if cached is not None and cached[0] is state:
+            return cached[1], cached[2]
+        from ..parallel.mesh import replicate as _replicate
+
+        params = _replicate(self.eval_mesh, jax.device_get(state.params))
+        bs = _replicate(self.eval_mesh, jax.device_get(state.batch_stats))
+        self._eval_state_cache = (state, params, bs)
+        return params, bs
+
     def eval_step(self, state, batch: Dict, post_processing: Optional[str] = None):
         if self._eval_step_fn is None:
             self._eval_step_fn = self._make_eval_step()
@@ -350,17 +378,24 @@ class SELDTask:
         # uneven final validation batches: NamedSharding requires the batch
         # dim divisible by the mesh, and the 5s-concat path (heads.py /
         # serving) needs an EVEN batch PER DEVICE (shard_map runs it
-        # shard-locally) — pad with repeats to 2*mesh, slice preds back
+        # shard-locally) — pad with repeats to 2*mesh, slice preds back.
+        # Known deviation: on the 5s-concat path the pad clips shift the
+        # half-split pairing, so real clips in an uneven final batch can be
+        # time-concatenated with a repeated pad clip; cross-half attention
+        # then perturbs their predictions slightly vs the reference's
+        # even-batch pairing (which would simply assert on odd batches).
+        # Measured harmless (full-chain metric parity test passes).
         B = batch_x.shape[0]
-        pad = (-B) % (2 * self.mesh.size)
+        pad = (-B) % (2 * self.eval_mesh.size)
         if pad:
             batch_x = jnp.concatenate(
                 [batch_x, jnp.repeat(batch_x[-1:], pad, axis=0)], axis=0)
         if post_processing == "ACS":
             out = self._acs_forward(state, batch_x)
         else:
-            sharded = shard_batch(self.mesh, batch_x)
-            out = self._eval_step_fn(state.params, state.batch_stats, sharded)
+            params, batch_stats = self._localize_for_eval(state)
+            sharded = shard_batch(self.eval_mesh, batch_x)
+            out = self._eval_step_fn(params, batch_stats, sharded)
         if pad:
             out = {k: v[:B] for k, v in out.items()}
         return out
@@ -371,6 +406,7 @@ class SELDTask:
         forward each, de-rotate outputs, average."""
         if self._eval_step_fn is None:
             self._eval_step_fn = self._make_eval_step()
+        params, batch_stats = self._localize_for_eval(state)
         trans = {(0, 1, 2): (1, 2, 3), (1, 0, 2): (3, 2, 1)}
         signs = [(1, 1, 1), (-1, 1, 1), (1, -1, 1), (-1, -1, 1),
                  (1, 1, -1), (-1, 1, -1), (1, -1, -1), (-1, -1, -1)]
@@ -382,8 +418,8 @@ class SELDTask:
                 x = jnp.stack([batch_x[:, 0], sign_y * batch_x[:, s_x],
                                sign_z * batch_x[:, s_y], sign_x * batch_x[:, s_z]],
                               axis=1)
-                x = shard_batch(self.mesh, x)
-                y = self._eval_step_fn(state.params, state.batch_stats, x)[key]
+                x = shard_batch(self.eval_mesh, x)
+                y = self._eval_step_fn(params, batch_stats, x)[key]
                 B, T = y.shape[:2]
                 tracks = 3 if key == "multi_accdoa" else 1
                 y = y.reshape(B, T, tracks, 3, -1) if tracks == 3 \
