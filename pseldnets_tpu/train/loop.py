@@ -283,6 +283,16 @@ def fit(task, datamodule, state, cfg, output_dir: Path):
         best_score = float(restored["best_score"])
         log.info("resumed training from %s at epoch %d", resume, epoch)
 
+    # num_sanity_val_steps (reference configs/debug/default.yaml:16, Lightning
+    # semantics): run N validation batches (-1 = the full set) BEFORE training
+    # starts, discarding the results — catches eval-path breakage up front
+    sanity = int(trainer_cfg.get("num_sanity_val_steps", 0) or 0)
+    if sanity and epoch < max_epochs:
+        log.info("sanity validation pass (%s batches)",
+                 "all" if sanity < 0 else sanity)
+        run_validation(task, datamodule, state, metrics,
+                       limit_batches=None if sanity < 0 else sanity)
+
     # jax.profiler trace hook (set profile: N in the config to capture the
     # first N train steps of the run into <output_dir>/profile)
     profile_steps = int(cfg.get("profile", 0) or 0)

@@ -109,15 +109,155 @@ class TensorBoardLogger:
         self.writer.close()
 
 
+class WandbLogger:
+    """Experiment tracking via wandb (reference configs/logger/wandb.yaml).
+
+    Uses the real wandb package when importable (honoring ``offline``); when
+    it is missing the run does NOT silently lose its dashboard — a loud
+    warning fires at startup and metrics stream to
+    <save_dir>/wandb_offline.jsonl instead."""
+
+    def __init__(self, save_dir=".", offline=False, project=None, name=None,
+                 id=None, group=None, tags=None, job_type=None, prefix="",
+                 **_):
+        self.prefix = prefix or ""
+        self.run = None
+        self._fallback = None
+        try:
+            import wandb
+        except ImportError:
+            wandb = None
+        if wandb is not None:
+            self.run = wandb.init(
+                project=project or None, name=name or None, id=id or None,
+                dir=str(save_dir), mode="offline" if offline else "online",
+                group=group or None, tags=list(tags) if tags else None,
+                job_type=job_type or None, reinit=True)
+        else:
+            logging.getLogger("pseldnets").warning(
+                "logger=wandb requested but the wandb package is NOT "
+                "installed — no wandb dashboard for this run; metrics are "
+                "streamed to %s instead", Path(save_dir) / "wandb_offline.jsonl")
+            self._fallback = JsonlLogger(Path(save_dir) / "wandb_offline.jsonl")
+
+    def log_metrics(self, metrics: Dict, step: int):
+        m = {self.prefix + k if self.prefix else k: v
+             for k, v in metrics.items()}
+        if self.run is not None:
+            self.run.log(m, step=step)
+        else:
+            self._fallback.log_metrics(m, step)
+
+    def close(self):
+        if self.run is not None:
+            self.run.finish()
+
+
+class MlflowLogger:
+    """MLflow tracking (reference configs/logger/mlflow.yaml).
+
+    Uses the mlflow package when importable; otherwise writes the plain-file
+    FileStore layout (mlruns/<exp>/<run>/{meta.yaml,metrics/<key>}) natively —
+    one "timestamp value step" line per metric point — which `mlflow ui`
+    reads directly, so the backend works without the dependency."""
+
+    def __init__(self, tracking_uri=None, experiment_name="pseldnets",
+                 run_name=None, prefix="", tags=None, **_):
+        import time
+        import uuid
+
+        self.prefix = prefix or ""
+        self._mlflow = None
+        uri = str(tracking_uri or "mlruns")
+        if uri.startswith("file:"):
+            uri = uri[len("file:"):]
+        try:
+            import mlflow
+
+            mlflow.set_tracking_uri(str(tracking_uri or "mlruns"))
+            mlflow.set_experiment(experiment_name)
+            self._run = mlflow.start_run(run_name=run_name)
+            self._mlflow = mlflow
+            return
+        except ImportError:
+            pass
+        root = Path(uri)
+        exp_id = "0"
+        exp_dir = root / exp_id
+        run_id = uuid.uuid4().hex
+        self._run_dir = exp_dir / run_id
+        (self._run_dir / "metrics").mkdir(parents=True, exist_ok=True)
+        (self._run_dir / "artifacts").mkdir(parents=True, exist_ok=True)
+        now_ms = int(time.time() * 1000)
+        if not (exp_dir / "meta.yaml").exists():
+            (exp_dir / "meta.yaml").write_text(
+                f"artifact_location: {exp_dir.resolve().as_uri()}\n"
+                f"creation_time: {now_ms}\n"
+                f"experiment_id: '{exp_id}'\n"
+                f"last_update_time: {now_ms}\n"
+                f"lifecycle_stage: active\n"
+                f"name: {experiment_name}\n")
+        (self._run_dir / "meta.yaml").write_text(
+            f"artifact_uri: {(self._run_dir / 'artifacts').resolve().as_uri()}\n"
+            f"end_time: null\n"
+            f"entry_point_name: ''\n"
+            f"experiment_id: '{exp_id}'\n"
+            f"lifecycle_stage: active\n"
+            f"run_id: {run_id}\n"
+            f"run_name: {run_name or run_id}\n"
+            f"run_uuid: {run_id}\n"
+            f"source_name: ''\n"
+            f"source_type: 4\n"
+            f"source_version: ''\n"
+            f"start_time: {now_ms}\n"
+            f"status: 1\n"
+            f"user_id: pseldnets\n")
+        tdir = self._run_dir / "tags"
+        tdir.mkdir(exist_ok=True)
+        (tdir / "mlflow.runName").write_text(str(run_name or run_id))
+
+    def log_metrics(self, metrics: Dict, step: int):
+        import time
+
+        now_ms = int(time.time() * 1000)
+        if self._mlflow is not None:
+            self._mlflow.log_metrics(
+                {self.prefix + k: v for k, v in metrics.items()
+                 if isinstance(v, (int, float))}, step=step)
+            return
+        for k, v in metrics.items():
+            if not isinstance(v, (int, float)):
+                continue
+            safe = (self.prefix + k).replace("/", "-")
+            with open(self._run_dir / "metrics" / safe, "a") as f:
+                f.write(f"{now_ms} {v} {step}\n")
+
+    def close(self):
+        if self._mlflow is not None:
+            self._mlflow.end_run()
+        else:
+            import re
+            import time
+
+            meta = self._run_dir / "meta.yaml"
+            txt = meta.read_text()
+            txt = re.sub(r"end_time: null", f"end_time: {int(time.time()*1000)}", txt)
+            meta.write_text(txt.replace("status: 1", "status: 3"))
+
+
 _LOGGER_TARGETS = {
     "lightning.pytorch.loggers.tensorboard.TensorBoardLogger": TensorBoardLogger,
     "lightning.pytorch.loggers.csv_logs.CSVLogger": CsvLogger,
+    "lightning.pytorch.loggers.wandb.WandbLogger": WandbLogger,
+    "lightning.pytorch.loggers.mlflow.MLFlowLogger": MlflowLogger,
 }
 
 
 def instantiate_loggers(logger_cfg: Optional[Dict], output_dir: Path):
-    """Resolve reference-style logger configs; unknown targets fall back to
-    JSONL so runs never lose metrics."""
+    """Resolve reference-style logger configs. Unknown targets (neptune,
+    comet, aim — backends with no importable package in this image) warn
+    LOUDLY at startup instead of silently degrading; the JSONL stream is
+    always appended so no run ever loses metrics."""
     loggers = []
     for name, sub in (logger_cfg or {}).items():
         if not isinstance(sub, dict) or "_target_" not in sub:
@@ -127,6 +267,12 @@ def instantiate_loggers(logger_cfg: Optional[Dict], output_dir: Path):
         try:
             if cls is not None:
                 loggers.append(cls(**kwargs))
+            else:
+                logging.getLogger("pseldnets").warning(
+                    "logger '%s' (%s) has no backend in this build — its "
+                    "dashboard will NOT be populated; metrics still stream "
+                    "to %s", name, sub["_target_"],
+                    Path(output_dir) / "metrics_stream.jsonl")
         except Exception as e:
             logging.getLogger("pseldnets").warning("logger %s failed: %s", name, e)
     loggers.append(JsonlLogger(Path(output_dir) / "metrics_stream.jsonl"))

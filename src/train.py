@@ -32,6 +32,14 @@ def main(argv=None):
     import numpy as np  # noqa: F401
     import jax
 
+    # trainer.detect_anomaly (reference configs/debug/default.yaml:15): the
+    # TPU-native analogue of torch.autograd.detect_anomaly is jax_debug_nans —
+    # every jitted computation re-runs un-jitted on a NaN/Inf and raises at
+    # the producing primitive
+    if cfg.get("trainer", {}).get("detect_anomaly"):
+        jax.config.update("jax_debug_nans", True)
+        log.info("trainer.detect_anomaly: jax_debug_nans enabled")
+
     seed = int(cfg.get("seed", 2024))
 
     from pseldnets_tpu.data import SELDDataModule, get_dataset
