@@ -218,6 +218,74 @@ def run_test(task, datamodule, state, submissions_dir: Path):
     log.info("Results are saved to %s", submissions_dir)
 
 
+class _PreparedBatchPipeline:
+    """Double-buffer between host and device in the train loop: ONE
+    background thread runs task.prepare_batch (AugMix/waveform augs +
+    device transfers) for batch N+1 while batch N's dispatched step executes
+    on the device. A single thread keeps the augmentation RNG draw order
+    identical to the serial loop; the depth-2 queue bounds live batches."""
+
+    def __init__(self, task, loader, depth: int = 2):
+        import queue
+        import threading
+
+        self.loader = loader
+        self.q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
+        self.thread = threading.Thread(target=self._worker, args=(task,),
+                                       daemon=True)
+        self.thread.start()
+
+    def _worker(self, task):
+        try:
+            for batch in self.loader:
+                if self._stop.is_set():
+                    return
+                if not self._put(("ok", task.prepare_batch(batch))):
+                    return
+        except BaseException as e:  # surfaced to the consumer
+            self._put(("err", e))
+            return
+        finally:
+            self._put((None, None))
+
+    def _put(self, item) -> bool:
+        import queue
+
+        while not self._stop.is_set():
+            try:
+                self.q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        kind, item = self.q.get()
+        if kind == "err":
+            raise item
+        if kind is None:
+            raise StopIteration
+        return item
+
+    def close(self):
+        self._stop.set()
+        import queue
+
+        try:
+            self.q.get_nowait()
+        except queue.Empty:
+            pass
+        if hasattr(self.loader, "close"):
+            self.loader.close()
+
+    def __del__(self):
+        self.close()
+
+
 def effective_steps_per_epoch(datamodule, cfg) -> int:
     """Steps actually run per epoch, honoring trainer.limit_train_batches.
     The OPTIMIZER must be built with this same number — the per-epoch LR
@@ -301,13 +369,14 @@ def fit(task, datamodule, state, cfg, output_dir: Path):
 
     loader = datamodule.train_dataloader(
         num_batches=steps_per_epoch * max(max_epochs - epoch, 0))
+    pipeline = _PreparedBatchPipeline(task, loader)
     step_in_epoch = 0
     global_step = 0
     train_losses = {k: MeanMeter() for k in task.loss.loss_dict_keys}
     t0 = time.time()
-    for batch in loader:
+    for prepared in pipeline:
         key, sub = jax.random.split(key)
-        state, losses, ov = task.train_step(state, batch, sub)
+        state, losses, ov = task.train_step_prepared(state, prepared, sub)
         global_step += 1
         if profile_steps and global_step == profile_steps:
             jax.block_until_ready(losses["loss_all"])
@@ -378,6 +447,7 @@ def fit(task, datamodule, state, cfg, output_dir: Path):
             lg.log_metrics(flatten_metrics(log_line), epoch)
         if epoch >= max_epochs:
             break
+    pipeline.close()
     for lg in loggers:
         lg.close()
     checkpointer.wait_until_finished()

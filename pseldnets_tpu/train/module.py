@@ -330,8 +330,13 @@ class SELDTask:
         return batch_x, targets
 
     def train_step(self, state, batch: Dict, key):
-        if self._train_step_fn is None:
-            self._train_step_fn = self._make_train_step()
+        return self.train_step_prepared(state, self.prepare_batch(batch), key)
+
+    def prepare_batch(self, batch: Dict):
+        """Host-side half of train_step: augmentation RNG draws, AugMix/
+        waveform augs and device transfers. Deterministic as long as batches
+        are prepared in loader order from ONE thread — fit's double-buffer
+        pipeline runs this for batch N+1 while batch N's step executes."""
         batch_x = np.asarray(batch["data"], np.float32)
         targets = {k: v for k, v in batch.items() if k != "data"}
         # ov statistics are logged for the RAW loader batch (reference
@@ -348,6 +353,13 @@ class SELDTask:
         ov = targets.get("ov") or ["1"] * batch_x.shape[0]
         ov1_mask = shard_batch(self.mesh,
                                jnp.asarray(np.asarray(ov) == "1"))
+        return batch_x, label_targets, flags, ov1_mask, ov_raw
+
+    def train_step_prepared(self, state, prepared, key):
+        """Dispatch half of train_step over an already-prepared batch."""
+        if self._train_step_fn is None:
+            self._train_step_fn = self._make_train_step()
+        batch_x, label_targets, flags, ov1_mask, ov_raw = prepared
         new_state, losses = self._train_step_fn(state, batch_x, label_targets,
                                                 key, flags, ov1_mask)
         return new_state, losses, ov_raw
