@@ -1,0 +1,186 @@
+#!/usr/bin/env python
+"""On-chip benchmarks for EVERY BASELINE.json config (round-3 item: the
+headline bench.py covers only the flagship). One JSON line per mode:
+
+  {"metric": ..., "value": ..., "unit": ..., ...}
+
+Modes (default: all, or pass a subset as argv):
+  htsat_maccdoa   flagship inference: pallas frontend + stage-fused HTSAT
+  passt_maccdoa   fused PaSST mACCDOA inference (ViT-block kernels)
+  einv2_agg       fused EINV2 dual-HTSAT (AGG-loss config) inference
+  cnn14_accdoa    CRNN (PANNs Cnn14 trunk = CNN12 encoder) ACCDOA inference —
+                  XLA convs map straight onto the MXU, so the conv stack runs
+                  un-fused by design; this is its first recorded number
+  adapterbit_train AdapterBit fine-tune train step (frozen backbone)
+
+Methodology per CLAUDE.md: one process, K batches per dispatch with varying
+inputs and a fetched scalar per output (the relay dedupes identical
+dispatches); first execution discarded. Component probes run K=8 to keep
+compile times sane (K=16 reserved for bench.py's final parity step).
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+import os as _os
+
+_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(REPO / ".jax_cache"))
+
+TARGET_CLIPS_PER_SEC = 300.0  # see bench.py — 5x estimated A100 torch rate
+
+
+def _emit(metric, dt_per_batch, B, clip_sec, extra=None):
+    one_min = (B / dt_per_batch) / (60.0 / clip_sec)
+    line = {"metric": metric, "value": round(one_min, 3),
+            "unit": "1min_clips/s",
+            "ms_per_batch": round(dt_per_batch * 1000, 2), "B": B}
+    if extra:
+        line.update(extra)
+    print(json.dumps(line), flush=True)
+
+
+def _k_time(body, args, K=8, iters=4):
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def step(k0, *args):
+        acc = jnp.float32(0)
+        for i in range(K):
+            acc = acc + body(k0 * K + i, *args)
+        return acc
+
+    _ = float(step(jnp.int32(0), *args))
+    t0 = time.perf_counter()
+    for i in range(iters):
+        _ = float(step(jnp.int32(i + 1), *args))
+    return (time.perf_counter() - t0) / (iters * K)
+
+
+def _build(overrides, num_classes=13):
+    import jax.numpy as jnp
+
+    from pseldnets_tpu.config import compose
+    from pseldnets_tpu.models import build_model
+
+    cfg = compose(str(REPO / "configs"), "train",
+                  ["model.kwargs.pretrained_path=null",
+                   "model.kwargs.audioset_pretrain=false"] + overrides)
+    model, _ = build_model(cfg, num_classes, dtype=jnp.bfloat16)
+    return cfg, model
+
+
+def bench_htsat_maccdoa():
+    import jax
+    import jax.numpy as jnp
+
+    from pseldnets_tpu.ops.pallas.frontend import fused_logmel_iv
+    from pseldnets_tpu.serving import htsat_fused_forward
+
+    cfg, model = _build(["loss=multi_accdoa"])
+    B = 128
+    extractor = lambda w: fused_logmel_iv(w, split3=True)  # noqa: E731
+    feats0 = extractor(jnp.zeros((2, 4, 240000), jnp.float32))
+    variables = jax.jit(lambda r, f: model.init(
+        {"params": r}, f, train=False))(jax.random.PRNGKey(0), feats0)
+    base = jax.random.normal(jax.random.PRNGKey(42), (B, 4, 240000),
+                             jnp.float32) * 0.1
+    jax.block_until_ready(base)
+    dt = _k_time(
+        lambda k, w: htsat_fused_forward(
+            model, variables,
+            extractor(w * (1.0 + 1e-4 * k)))["multi_accdoa"].astype(
+                jnp.float32).mean(), (base,))
+    _emit("htsat_maccdoa_infer (pallas frontend + stage-fused Swin, bf16)",
+          dt, B, 10.0)
+
+
+def _serving_feats_bench(tag, overrides, fused_name, out_key, B=32):
+    import jax
+    import jax.numpy as jnp
+
+    from pseldnets_tpu import serving
+
+    cfg, model = _build(overrides)
+    fused_fn = getattr(serving, fused_name)
+    feats = jax.random.normal(jax.random.PRNGKey(1), (B, 7, 1001, 64),
+                              jnp.float32) * 0.3
+    variables = jax.jit(lambda r, f: model.init(
+        {"params": r, "patchout": r}, f, train=False))(
+            jax.random.PRNGKey(0), feats[:2])
+    jax.block_until_ready(feats)
+    dt = _k_time(
+        lambda k, f: fused_fn(model, variables,
+                              f * (1.0 + 1e-4 * k))[out_key].astype(
+                                  jnp.float32).mean(), (feats,))
+    # feats cover 10 s clips (1001 frames @ ~100 fps)
+    _emit(tag, dt, B, 10.0)
+
+
+def bench_passt_maccdoa():
+    _serving_feats_bench(
+        "passt_maccdoa_infer (fused ViT-block serving, bf16, offline feats)",
+        ["model=passt", "loss=multi_accdoa"], "passt_fused_forward",
+        "multi_accdoa")
+
+
+def bench_einv2_agg():
+    _serving_feats_bench(
+        "einv2_htsat_agg_infer (fused dual-HTSAT serving, bf16, offline feats)",
+        ["loss=einv2_pit_agg"], "einv2_htsat_fused_forward", "doa")
+
+
+def bench_cnn14_accdoa():
+    import jax
+    import jax.numpy as jnp
+
+    from pseldnets_tpu.ops.pallas.frontend import fused_logmel_iv
+
+    cfg, model = _build(["model=crnn", "loss=accdoa"])
+    B = 128
+    extractor = lambda w: fused_logmel_iv(w, split3=True)  # noqa: E731
+    feats0 = extractor(jnp.zeros((2, 4, 240000), jnp.float32))
+    variables = jax.jit(lambda r, f: model.init(
+        {"params": r}, f, train=False))(jax.random.PRNGKey(0), feats0)
+    base = jax.random.normal(jax.random.PRNGKey(7), (B, 4, 240000),
+                             jnp.float32) * 0.1
+    jax.block_until_ready(base)
+    dt = _k_time(
+        lambda k, w: model.apply(
+            variables, extractor(w * (1.0 + 1e-4 * k)),
+            train=False)["accdoa"].astype(jnp.float32).mean(), (base,))
+    _emit("cnn14_accdoa_infer (pallas frontend + flax Cnn14-trunk CRNN, bf16)",
+          dt, B, 10.0)
+
+
+def bench_adapterbit_train():
+    import bench_train
+
+    bench_train.bench_mode(
+        "adapterbit_train_step (frozen backbone + adapters, B=32)",
+        ["adapt=adapter"])
+
+
+MODES = {
+    "htsat_maccdoa": bench_htsat_maccdoa,
+    "passt_maccdoa": bench_passt_maccdoa,
+    "einv2_agg": bench_einv2_agg,
+    "cnn14_accdoa": bench_cnn14_accdoa,
+    "adapterbit_train": bench_adapterbit_train,
+}
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    names = argv or list(MODES)
+    for name in names:
+        MODES[name]()
+
+
+if __name__ == "__main__":
+    main()
