@@ -50,7 +50,8 @@ def _bnd_blk(bnd: int, t_blk: int) -> int:
 
 
 def _kernel(rows_main, rows_bnd, dft_ref, mel_ref, out_ref, spectra, *,
-            n_freqs, n_ch, t_blk, n_parts, precision, split3):
+            n_freqs, n_ch, t_blk, n_parts, precision, split3,
+            iv_norm="exact"):
     # The t_blk main rows and the n_parts-1 boundary rows arrive as two
     # blocks of the SAME un-duplicated HBM array (boundary offsets are
     # multiples of the boundary block height), so the host never
@@ -106,12 +107,26 @@ def _kernel(rows_main, rows_bnd, dft_ref, mel_ref, out_ref, spectra, *,
     # FOA intensity vector (W conj-cross with X/Y/Z), L2-normalized per TF bin
     w_re, w_im = re[0], im[0]
     iv = re[1:4] * w_re[None] + im[1:4] * w_im[None]  # (3, T_BLK, F)
-    normal = jnp.sqrt(jnp.sum(iv * iv, axis=0, keepdims=True)) + EPS_F32
-    out_ref[0, n_ch:n_ch + 3, :, :] = mel_of(iv / normal)
+    out_ref[0, n_ch:n_ch + 3, :, :] = mel_of(_iv_normalize(iv, iv_norm))
+
+
+def _iv_normalize(iv, iv_norm):
+    """IV unit-normalization: reference semantics are iv / (sqrt(s) + eps).
+
+    iv_norm='rsqrt' uses the EXACT identity 1/(sqrt(s)+eps) =
+    rsqrt(s) / (1 + eps*rsqrt(s)) — same value to f32 rounding, but the
+    divide volume drops from 3*T*F to T*F (the remaining divide's operand is
+    in [1, 2], so no precision is lost) and sqrt becomes the cheaper rsqrt."""
+    s2 = jnp.sum(iv * iv, axis=0, keepdims=True)
+    if iv_norm == "rsqrt":
+        inv0 = jax.lax.rsqrt(jnp.maximum(s2, 1e-38))
+        return iv * (inv0 / (1.0 + EPS_F32 * inv0))
+    return iv / (jnp.sqrt(s2) + EPS_F32)
 
 
 def _kernel_r2(rows_main, rows_bnd, dft_ref, mel_ref, out_ref, *, nfh, n_ch,
-               t_blk, n_parts, precision, split3, mel_precision=None):
+               t_blk, n_parts, precision, split3, mel_precision=None,
+               pack=False, iv_norm="exact"):
     """Radix-2 DIT variant: two half-size sub-DFT chains + butterfly.
 
     With E = DFT_{n/2}(even·w_even) and O' = twiddled DFT_{n/2}(odd·w_odd),
@@ -162,6 +177,42 @@ def _kernel_r2(rows_main, rows_bnd, dft_ref, mel_ref, out_ref, *, nfh, n_ch,
     s_f = ev + ot
     d_f = ev - ot
 
+    mel_fold_p = split3 if mel_precision is None else mel_precision == "split3"
+    mp_p = precision if mel_precision in (None, "split3") else mel_precision
+
+    if pack:
+        # lane-pack the two radix-2 halves: power/IV/normalize run once on
+        # (.., 2*nfh=514) arrays (pad 640) instead of twice on 257-lane
+        # arrays (pad 384 each, 768 total), and the mel projection becomes
+        # ONE dot with K=514 (20% K-pad waste) instead of two K=257 dots
+        # (33% waste each). mel_ref arrives pre-stacked [mel_lo; mel_hi].
+        s = s_f.reshape(n_ch, t_blk, 2 * nfh)
+        d = d_f.reshape(n_ch, t_blk, 2 * nfh)
+        re2 = jnp.concatenate([s[:, :, :nfh], d[:, :, :nfh]], axis=-1)
+        im2 = jnp.concatenate([s[:, :, nfh:], d[:, :, nfh:]], axis=-1)
+
+        def melp(v):
+            lead = v.shape[:-1]
+            if mel_fold_p:
+                vf = v.reshape(-1, 2 * nfh)
+                v_hi = vf.astype(jnp.bfloat16)
+                v_lo = (vf - v_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                vv = jnp.concatenate([v_hi, v_hi, v_lo], axis=-1)
+                flat = jnp.dot(vv, mel_ref[:, :],
+                               preferred_element_type=jnp.float32)
+            else:
+                flat = jnp.dot(v.reshape(-1, 2 * nfh), mel_ref[:, :],
+                               precision=mp_p,
+                               preferred_element_type=jnp.float32)
+            return flat.reshape(lead + (mel_ref.shape[-1],))
+
+        power = re2 * re2 + im2 * im2
+        out_ref[0, 0:n_ch, :, :] = 10.0 * jnp.log10(
+            jnp.maximum(melp(power), 1e-10))
+        iv = re2[1:4] * re2[0][None] + im2[1:4] * im2[0][None]
+        out_ref[0, n_ch:n_ch + 3, :, :] = melp(_iv_normalize(iv, iv_norm))
+        return
+
     def halves(m):
         r = m.reshape(n_ch, t_blk, 2 * nfh)
         return r[:, :, :nfh], r[:, :, nfh:]
@@ -205,20 +256,20 @@ def _kernel_r2(rows_main, rows_bnd, dft_ref, mel_ref, out_ref, *, nfh, n_ch,
 
     iv_lo = s_re[1:4] * s_re[0][None] + s_im[1:4] * s_im[0][None]
     iv_hi = d_re[1:4] * d_re[0][None] + d_im[1:4] * d_im[0][None]
-    nl = jnp.sqrt(jnp.sum(iv_lo * iv_lo, axis=0, keepdims=True)) + EPS_F32
-    nh = jnp.sqrt(jnp.sum(iv_hi * iv_hi, axis=0, keepdims=True)) + EPS_F32
-    out_ref[0, n_ch:n_ch + 3, :, :] = mel2(iv_lo / nl, iv_hi / nh)
+    out_ref[0, n_ch:n_ch + 3, :, :] = mel2(_iv_normalize(iv_lo, iv_norm),
+                                           _iv_normalize(iv_hi, iv_norm))
 
 
 @partial(jax.jit, static_argnames=("n_fft", "hop", "window", "n_mels",
                                    "sample_rate", "t_blk", "interpret",
                                    "precision", "split3", "radix2",
-                                   "mel_precision"))
+                                   "mel_precision", "pack", "iv_norm"))
 def fused_logmel_iv(x: jnp.ndarray, *, n_fft: int = 1024, hop: int = 240,
                     window: str = "hann", n_mels: int = 64,
                     sample_rate: int = 24000, t_blk: int = 256,
                     interpret: bool = False, split3: bool = False,
-                    radix2=None, mel_precision=None,
+                    radix2=None, mel_precision=None, pack: bool = False,
+                    iv_norm: str = "exact",
                     precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
     """(B, 4, samples) float32 -> (B, 7, n_frames, n_mels); numerical parity
     with ops.features.LogmelIVExtractor (and the reference torchaudio chain).
@@ -252,6 +303,7 @@ def fused_logmel_iv(x: jnp.ndarray, *, n_fft: int = 1024, hop: int = 240,
                             sample_rate=sample_rate, t_blk=t_blk,
                             interpret=interpret, split3=split3,
                             precision=precision, mel_precision=mel_precision,
+                            pack=pack, iv_norm=iv_norm,
                             n_frames=n_frames, t_pad=t_pad,
                             n_blocks=n_blocks)
 
@@ -294,7 +346,8 @@ def fused_logmel_iv(x: jnp.ndarray, *, n_fft: int = 1024, hop: int = 240,
 
     out = pl.pallas_call(
         partial(_kernel, n_freqs=n_freqs, n_ch=C, t_blk=t_blk,
-                n_parts=n_parts, precision=precision, split3=split3),
+                n_parts=n_parts, precision=precision, split3=split3,
+                iv_norm=iv_norm),
         grid=(B, n_blocks),
         in_specs=[
             pl.BlockSpec((1, C, t_blk, hop), lambda b, t: (b, 0, t, 0),
@@ -324,7 +377,7 @@ def fused_logmel_iv(x: jnp.ndarray, *, n_fft: int = 1024, hop: int = 240,
 
 def _call_radix2(x, *, pl, pltpu, n_fft, hop, window, n_mels, sample_rate,
                  t_blk, interpret, split3, precision, n_frames, t_pad,
-                 n_blocks, mel_precision=None):
+                 n_blocks, mel_precision=None, pack=False, iv_norm="exact"):
     """Host prep + pallas_call for the radix-2 DIT kernel.
 
     Frame f covers padded[f*hop + n], n = 0..n_fft-1 (center=True reflect pad
@@ -394,7 +447,14 @@ def _call_radix2(x, *, pl, pltpu, n_fft, hop, window, n_mels, sample_rate,
     mel2[1, : nfh - 1] = mel[n_freqs - 1: nfh - 1: -1]  # bins N/2..nfh rev
 
     mel_fold = split3 if mel_precision is None else mel_precision == "split3"
-    if mel_fold:  # [m_hi; m_lo; m_hi] rows for the kernel's bf16x3 fold
+    if pack:  # lane-packed halves -> ONE mel dot over [mel_lo; mel_hi]
+        mel2 = np.concatenate([mel2[0], mel2[1]], axis=0)  # (2*nfh, n_mels)
+        if mel_fold:
+            m_hi = np.asarray(mel2.astype(jnp.bfloat16))
+            m_lo = np.asarray((mel2 - np.asarray(m_hi, np.float32)
+                               ).astype(jnp.bfloat16))
+            mel2 = np.concatenate([m_hi, m_lo, m_hi], axis=0)
+    elif mel_fold:  # [m_hi; m_lo; m_hi] rows for the kernel's bf16x3 fold
         m_hi = np.asarray(mel2.astype(jnp.bfloat16))
         m_lo = np.asarray((mel2 - np.asarray(m_hi, np.float32)
                            ).astype(jnp.bfloat16))
@@ -407,10 +467,15 @@ def _call_radix2(x, *, pl, pltpu, n_fft, hop, window, n_mels, sample_rate,
                 pl.BlockSpec((2, n_parts, hh, 2 * nfh),
                              lambda b, t: (0, 0, 0, 0),
                              memory_space=pltpu.VMEM))
+    mel_spec = (pl.BlockSpec((mel2.shape[0], n_mels), lambda b, t: (0, 0),
+                             memory_space=pltpu.VMEM)
+                if pack else
+                pl.BlockSpec((2, mel2.shape[1], n_mels), lambda b, t: (0, 0, 0),
+                             memory_space=pltpu.VMEM))
     out = pl.pallas_call(
         partial(_kernel_r2, nfh=nfh, n_ch=C, t_blk=t_blk, n_parts=n_parts,
                 precision=precision, split3=split3,
-                mel_precision=mel_precision),
+                mel_precision=mel_precision, pack=pack, iv_norm=iv_norm),
         grid=(B, n_blocks),
         in_specs=[
             pl.BlockSpec((1, 2, C, t_blk, hh), lambda b, t: (b, 0, 0, t, 0),
@@ -419,8 +484,7 @@ def _call_radix2(x, *, pl, pltpu, n_fft, hop, window, n_mels, sample_rate,
                          lambda b, t: (b, 0, 0, (t + 1) * (t_blk // bnd_blk), 0),
                          memory_space=pltpu.VMEM),
             dft_spec,
-            pl.BlockSpec((2, mel2.shape[1], n_mels), lambda b, t: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            mel_spec,
         ],
         out_specs=pl.BlockSpec((1, 7, t_blk, n_mels), lambda b, t: (b, 0, t, 0),
                                memory_space=pltpu.VMEM),

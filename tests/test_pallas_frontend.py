@@ -45,3 +45,29 @@ def test_fused_frontend_variants(rng):
                                        err_msg=f"r2={radix2} s3={split3}")
             np.testing.assert_allclose(got[:, 4:], ref[:, 4:], atol=1e-4,
                                        err_msg=f"r2={radix2} s3={split3}")
+
+
+def test_fused_frontend_pack_and_rsqrt_variants(rng):
+    """Round-3 VPU levers: lane-packed radix-2 halves (pack=True) and the
+    exact rsqrt IV normalization must stay inside the same parity budget —
+    iv_norm='rsqrt' is an algebraic identity, so it gets the TIGHT
+    tolerance; pack only reorders lanes, so it must match its unpacked
+    counterpart almost exactly."""
+    x = rng.standard_normal((1, 4, 24000)).astype(np.float32) * 0.2
+    ref = np.asarray(LogmelIVExtractor(CFG)(jnp.asarray(x)))
+    for split3 in (False, True):
+        base = np.asarray(fused_logmel_iv(jnp.asarray(x), t_blk=32,
+                                          interpret=True, split3=split3,
+                                          radix2=True))
+        for pack in (False, True):
+            for iv_norm in ("exact", "rsqrt"):
+                got = np.asarray(fused_logmel_iv(
+                    jnp.asarray(x), t_blk=32, interpret=True, split3=split3,
+                    radix2=True, pack=pack, iv_norm=iv_norm))
+                tag = f"s3={split3} pack={pack} iv={iv_norm}"
+                np.testing.assert_allclose(got[:, :4], ref[:, :4], atol=5e-3,
+                                           err_msg=tag)
+                np.testing.assert_allclose(got[:, 4:], ref[:, 4:], atol=1e-4,
+                                           err_msg=tag)
+                # vs the measured production baseline: tiny numerical drift
+                np.testing.assert_allclose(got, base, atol=2e-5, err_msg=tag)
