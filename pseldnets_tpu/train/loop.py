@@ -218,6 +218,59 @@ def run_test(task, datamodule, state, submissions_dir: Path):
     log.info("Results are saved to %s", submissions_dir)
 
 
+class EarlyStopping:
+    """Lightning-semantics EarlyStopping (reference
+    configs/callbacks/early_stopping.yaml): active only when the composed
+    callbacks.early_stopping block carries a ``_target_`` (i.e. the user
+    added early_stopping.yaml to the callbacks defaults, as in the
+    reference); the inert monitor/patience block in callbacks/default.yaml
+    does not arm it."""
+
+    def __init__(self, monitor, mode="min", patience=3, min_delta=0.0,
+                 check_finite=True, stopping_threshold=None,
+                 divergence_threshold=None, verbose=False, **_):
+        self.monitor = monitor
+        self.sign = -1.0 if mode == "min" else 1.0
+        self.patience = int(patience)
+        self.min_delta = abs(float(min_delta))
+        self.check_finite = check_finite
+        self.stopping_threshold = stopping_threshold
+        self.divergence_threshold = divergence_threshold
+        self.best = -float("inf")
+        self.wait_count = 0
+
+    def should_stop(self, metrics: Dict) -> Optional[str]:
+        """-> stop reason, or None to continue. Call once per validation."""
+        if self.monitor not in metrics:
+            return None
+        v = float(metrics[self.monitor])
+        if self.check_finite and not np.isfinite(v):
+            return f"{self.monitor} is not finite ({v})"
+        if self.stopping_threshold is not None and \
+                self.sign * v >= self.sign * float(self.stopping_threshold):
+            return f"{self.monitor} reached stopping_threshold"
+        if self.divergence_threshold is not None and \
+                self.sign * v <= self.sign * float(self.divergence_threshold):
+            return f"{self.monitor} crossed divergence_threshold"
+        if self.sign * v > self.best + self.min_delta:
+            self.best = self.sign * v
+            self.wait_count = 0
+            return None
+        self.wait_count += 1
+        if self.wait_count >= self.patience:
+            return (f"{self.monitor} did not improve by {self.min_delta} "
+                    f"over {self.patience} validations")
+        return None
+
+
+def make_early_stopping(cfg) -> Optional[EarlyStopping]:
+    es_cfg = (cfg.get("callbacks") or {}).get("early_stopping") or {}
+    if "_target_" not in es_cfg or not es_cfg.get("monitor"):
+        return None
+    return EarlyStopping(**{k: v for k, v in es_cfg.items()
+                            if k != "_target_"})
+
+
 class _PreparedBatchPipeline:
     """Double-buffer between host and device in the train loop: ONE
     background thread runs task.prepare_batch (AugMix/waveform augs +
@@ -322,6 +375,7 @@ def fit(task, datamodule, state, cfg, output_dir: Path):
     if limit_val is not None:
         limit_val = int(limit_val)
 
+    early_stopping = make_early_stopping(cfg)
     ckpt_dir = (output_dir / "checkpoints").resolve()
     ckpt_dir.mkdir(parents=True, exist_ok=True)
     checkpointer = ocp.StandardCheckpointer()
@@ -443,8 +497,14 @@ def fit(task, datamodule, state, cfg, output_dir: Path):
         if is_main:
             with open(metrics_log, "a") as f:
                 f.write(json.dumps(log_line) + "\n")
+        flat = flatten_metrics(log_line)
         for lg in loggers:
-            lg.log_metrics(flatten_metrics(log_line), epoch)
+            lg.log_metrics(flat, epoch)
+        if early_stopping is not None and "val" in log_line:
+            reason = early_stopping.should_stop(flat)
+            if reason:
+                log.info("early stopping at epoch %d: %s", epoch, reason)
+                break
         if epoch >= max_epochs:
             break
     pipeline.close()
