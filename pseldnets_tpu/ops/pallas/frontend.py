@@ -268,8 +268,8 @@ def fused_logmel_iv(x: jnp.ndarray, *, n_fft: int = 1024, hop: int = 240,
                     window: str = "hann", n_mels: int = 64,
                     sample_rate: int = 24000, t_blk: int = 256,
                     interpret: bool = False, split3: bool = False,
-                    radix2=None, mel_precision=None, pack: bool = False,
-                    iv_norm: str = "exact",
+                    radix2=None, mel_precision=None, pack: bool = True,
+                    iv_norm: str = "rsqrt",
                     precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
     """(B, 4, samples) float32 -> (B, 7, n_frames, n_mels); numerical parity
     with ops.features.LogmelIVExtractor (and the reference torchaudio chain).
@@ -279,6 +279,10 @@ def fused_logmel_iv(x: jnp.ndarray, *, n_fft: int = 1024, hop: int = 240,
     signal ~4x; rebuilt with un-duplicated main+boundary row blocks it wins
     outright: 27.9 vs 38.7 ms @B=128 on v5e, parity 7.2e-4 dB logmel /
     3.3e-5 IV vs the f32 flat kernel (budget 8e-4 — docs/PERF.md).
+
+    pack=True + iv_norm='rsqrt' are the measured round-3 production
+    defaults: 25.44 vs 26.41 ms @B=128 (scripts/perf_r3b_probe.py), added
+    deviation 3.6e-5 dB logmel / 1.9e-7 IV — far inside the budget.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 
 from ..models.common import interpolate
 from ..models.einv2_heads import SED_IN_CHANNELS
-from ..ops.pallas.swin_block import swin_stage_fused_v2
+from ..ops.pallas.swin_block import swin_block_fused
 
 Dtype = Any
 
@@ -27,14 +27,11 @@ def _fused_stage(enc, i: int, x: jnp.ndarray, compute_dtype, interpret):
     if min(Hi, Wi) <= enc.window_size:
         w_i, base_shift = min(Hi, Wi), 0
     pstage = enc.variables["params"][f"layers_{i}"]
-    # whole stage per kernel invocation — see serving/htsat.py for the
-    # round-3 on-chip measurement that picked swin_stage_fused_v2
-    x = swin_stage_fused_v2(
-        x, [pstage[f"blocks_{j}"] for j in range(enc.depths[i])],
-        H=Hi, W=Wi, nh=enc.num_heads[i], window=w_i,
-        shifts=[0 if j % 2 == 0 else base_shift
-                for j in range(enc.depths[i])],
-        compute_dtype=compute_dtype, interpret=interpret)
+    for j in range(enc.depths[i]):  # per-block wins on-chip — serving/htsat.py
+        shift = 0 if j % 2 == 0 else base_shift
+        x = swin_block_fused(x, pstage[f"blocks_{j}"], H=Hi, W=Wi,
+                             nh=enc.num_heads[i], window=w_i, shift=shift,
+                             compute_dtype=compute_dtype, interpret=interpret)
     if i < len(enc.depths) - 1:
         x = enc.layers[i].downsample_mod(x)
     return x

@@ -16,7 +16,7 @@ import numpy as np
 
 from ..models import heads
 from ..models.common import _linear_upsample_matrix
-from ..ops.pallas.swin_block import swin_stage_fused_v2
+from ..ops.pallas.swin_block import swin_block_fused
 
 Dtype = Any
 
@@ -102,17 +102,17 @@ def htsat_fused_forward(model: "heads.HTSAT", variables, x: jnp.ndarray,
         if min(Hi, Wi) <= window:
             w_i, base_shift = min(Hi, Wi), 0
         lp = p["encoder"][f"layers_{i}"]
-        # whole stage in ONE grid-over-(batch,depth) kernel: saves the
-        # per-block HBM activation round-trip. Measured on-chip round 3
-        # (scripts/perf_r3a_probe.py): 47.9 vs 112.2 ms per-block for the
-        # full forward (same-process K=4), output bitwise identical. The v1
-        # fully-unrolled stage kernel compile-hangs on Mosaic — keep v2.
-        x = swin_stage_fused_v2(
-            x, [lp[f"blocks_{j}"] for j in range(depths[i])],
-            H=Hi, W=Wi, nh=num_heads[i], window=w_i,
-            shifts=[0 if j % 2 == 0 else base_shift
-                    for j in range(depths[i])],
-            compute_dtype=compute_dtype, interpret=interpret)
+        # Round-3 measurement settled the per-block vs whole-stage question:
+        # the full quiet-box bench is FASTER per-block (352 vs 335 clips/s);
+        # the stage kernel's apparent 2.3x win in the first probe was host
+        # contention polluting the per-block side (docs/PERF.md round 3).
+        # swin_stage_fused_v2 stays in-tree as a parity-pinned spare.
+        for j in range(depths[i]):
+            shift = 0 if j % 2 == 0 else base_shift
+            x = swin_block_fused(
+                x, lp[f"blocks_{j}"], H=Hi, W=Wi, nh=num_heads[i],
+                window=w_i, shift=shift, compute_dtype=compute_dtype,
+                interpret=interpret)
         if i < num_layers - 1:  # PatchMerging (models.htsat.PatchMerging)
             dm = lp["downsample"]
             v = x.reshape(Bp, Hi, Wi, -1)
