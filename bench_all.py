@@ -91,12 +91,14 @@ def bench_htsat_maccdoa():
     base = jax.random.normal(jax.random.PRNGKey(42), (B, 4, 240000),
                              jnp.float32) * 0.1
     jax.block_until_ready(base)
+    # variables ride as jit ARGS — closing over them would bake ~100 MB of
+    # params into the trace as constants and force a host materialization
     dt = _k_time(
-        lambda k, w: htsat_fused_forward(
-            model, variables,
+        lambda k, w, v: htsat_fused_forward(
+            model, v,
             extractor(w * (1.0 + 1e-4 * k)))["multi_accdoa"].astype(
-                jnp.float32).mean(), (base,))
-    _emit("htsat_maccdoa_infer (pallas frontend + stage-fused Swin, bf16)",
+                jnp.float32).mean(), (base, variables))
+    _emit("htsat_maccdoa_infer (pallas frontend + fused-block Swin, bf16)",
           dt, B, 10.0)
 
 
@@ -115,9 +117,9 @@ def _serving_feats_bench(tag, overrides, fused_name, out_key, B=32):
             jax.random.PRNGKey(0), feats[:2])
     jax.block_until_ready(feats)
     dt = _k_time(
-        lambda k, f: fused_fn(model, variables,
-                              f * (1.0 + 1e-4 * k))[out_key].astype(
-                                  jnp.float32).mean(), (feats,))
+        lambda k, f, v: fused_fn(model, v,
+                                 f * (1.0 + 1e-4 * k))[out_key].astype(
+                                     jnp.float32).mean(), (feats, variables))
     # feats cover 10 s clips (1001 frames @ ~100 fps)
     _emit(tag, dt, B, 10.0)
 
@@ -151,9 +153,10 @@ def bench_cnn14_accdoa():
                              jnp.float32) * 0.1
     jax.block_until_ready(base)
     dt = _k_time(
-        lambda k, w: model.apply(
-            variables, extractor(w * (1.0 + 1e-4 * k)),
-            train=False)["accdoa"].astype(jnp.float32).mean(), (base,))
+        lambda k, w, v: model.apply(
+            v, extractor(w * (1.0 + 1e-4 * k)),
+            train=False)["accdoa"].astype(jnp.float32).mean(),
+        (base, variables))
     _emit("cnn14_accdoa_infer (pallas frontend + flax Cnn14-trunk CRNN, bf16)",
           dt, B, 10.0)
 
