@@ -45,6 +45,8 @@ def _emit(metric, dt_per_batch, B, clip_sec, extra=None):
 
 
 def _k_time(body, args, K=8, iters=4):
+    # K=8 default; the deep ViT-stack modes pass K=4 — their K=8 unrolled
+    # compiles blew the relay's compile-helper resource cap (SIGKILL)
     import jax
     import jax.numpy as jnp
 
@@ -102,7 +104,7 @@ def bench_htsat_maccdoa():
           dt, B, 10.0)
 
 
-def _serving_feats_bench(tag, overrides, fused_name, out_key, B=32):
+def _serving_feats_bench(tag, overrides, fused_name, out_key, B=32, K=4):
     import jax
     import jax.numpy as jnp
 
@@ -119,16 +121,21 @@ def _serving_feats_bench(tag, overrides, fused_name, out_key, B=32):
     dt = _k_time(
         lambda k, f, v: fused_fn(model, v,
                                  f * (1.0 + 1e-4 * k))[out_key].astype(
-                                     jnp.float32).mean(), (feats, variables))
+                                     jnp.float32).mean(), (feats, variables),
+        K=K)
     # feats cover 10 s clips (1001 frames @ ~100 fps)
     _emit(tag, dt, B, 10.0)
 
 
 def bench_passt_maccdoa():
+    # K=2: the PaSST fused path's K>=4 unrolled compile now reproducibly
+    # SIGKILLs the relay's compile helper (it compiled at K=4 in round 2);
+    # at K=2 the per-dispatch relay RTT is ~12 ms over a ~33 ms signal, so
+    # treat this mode's absolute number as a lower bound
     _serving_feats_bench(
         "passt_maccdoa_infer (fused ViT-block serving, bf16, offline feats)",
         ["model=passt", "loss=multi_accdoa"], "passt_fused_forward",
-        "multi_accdoa")
+        "multi_accdoa", K=2)
 
 
 def bench_einv2_agg():

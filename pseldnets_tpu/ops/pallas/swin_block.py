@@ -397,6 +397,13 @@ def swin_stage_fused(x: jnp.ndarray, blocks, *, H: int, W: int, nh: int,
                      group: int = 0, interpret: bool = False) -> jnp.ndarray:
     """x (B, H*W, C) + a list of block param subtrees -> (B, H*W, C).
 
+    STATUS (settled round 3): kept as a spare, NOT on the serving path.
+    This v1 (fully-unrolled multi-block body) compile-hangs on Mosaic for
+    the 6-deep stage; v2 below compiles fine but measured SLOWER than the
+    per-block kernel at runtime on a quiet box (49.2 vs 43.7 ms for the
+    full fused HTSAT forward @B=128 — docs/PERF.md round 3), so serving
+    uses swin_block_fused.
+
     Equivalent to running ``swin_block_fused`` sequentially over ``blocks``
     with the given per-block shifts (eval mode). ``shifts`` must already
     follow the reference clamp rule.
