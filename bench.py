@@ -55,9 +55,13 @@ def main():
     # identical dispatches and async laziness would otherwise hide work.
     # K batches are processed per dispatch so the dev harness's ~25 ms
     # per-dispatch relay round-trip doesn't masquerade as device time (a
-    # production host dispatches over PCIe at ~10 us).
+    # production host dispatches over PCIe at ~10 us). The K batches run
+    # in a lax.fori_loop: the body compiles ONCE (~75 s vs ~24 min for the
+    # K=16 unrolled harness) and measured steady-state matches/beats the
+    # unrolled harness (scripts/perf_r3f/g_probe.py: fori K=64 58.9 ms/batch
+    # vs unrolled K=16 60.2).
     B = 128  # 10-second clips per batch
-    K = 16   # batches per dispatch
+    K = 64   # batches per dispatch (fori body -> compile cost is K-free)
     rng = jax.random.PRNGKey(0)
     feats = extractor(jnp.zeros((2, 4, 240000), jnp.float32))
     # jit the init: eager flax init dispatches thousands of individual ops,
@@ -71,14 +75,13 @@ def main():
 
     @jax.jit
     def step(variables, base, k):
-        acc = jnp.float32(0)
-        for i in range(K):
+        def body(i, acc):
             wav = base * (1.0 + 1e-4 * (k * K + i)) + 1e-5 * (k * K + i)
             # fused-kernel serving path (pallas Swin blocks): 2.4x the flax
             # forward on-chip; parity pinned in tests/test_serving_fused.py
             out = htsat_fused_forward(model, variables, extractor(wav))
-            acc = acc + out["multi_accdoa"].astype(jnp.float32).mean()
-        return acc
+            return acc + out["multi_accdoa"].astype(jnp.float32).mean()
+        return jax.lax.fori_loop(0, K, body, jnp.float32(0))
 
     _ = float(step(variables, base, jnp.int32(0)))  # compile + materialize
 
@@ -91,7 +94,7 @@ def main():
 
     one_min_clips_per_sec = (B / dt) / 6.0
     print(json.dumps({
-        "metric": "1min_FOA_clips/sec/chip (pallas radix2-split3 pack+rsqrt frontend + fused-block HTSAT mACCDOA fwd, bf16, B=128, 16 batches/dispatch)",
+        "metric": "1min_FOA_clips/sec/chip (pallas radix2-split3 pack+rsqrt frontend + fused-block HTSAT mACCDOA fwd, bf16, B=128, fori K=64 batches/dispatch)",
         "value": round(one_min_clips_per_sec, 3),
         "unit": "clips/s",
         "vs_baseline": round(one_min_clips_per_sec / TARGET_CLIPS_PER_SEC, 4),

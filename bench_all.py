@@ -15,8 +15,9 @@ Modes (default: all, or pass a subset as argv):
 
 Methodology per CLAUDE.md: one process, K batches per dispatch with varying
 inputs and a fetched scalar per output (the relay dedupes identical
-dispatches); first execution discarded. Component probes run K=8 to keep
-compile times sane (K=16 reserved for bench.py's final parity step).
+dispatches); first execution discarded. The K batches run in a lax.fori_loop
+(round 3): the body compiles once regardless of K, so every mode runs K=32
+with compile times measured in tens of seconds.
 """
 
 import json
@@ -44,18 +45,20 @@ def _emit(metric, dt_per_batch, B, clip_sec, extra=None):
     print(json.dumps(line), flush=True)
 
 
-def _k_time(body, args, K=8, iters=4):
-    # K=8 default; the deep ViT-stack modes pass K=4 — their K=8 unrolled
-    # compiles blew the relay's compile-helper resource cap (SIGKILL)
+def _k_time(body, args, K=32, iters=4):
+    # fori harness (round 3): the body compiles ONCE regardless of K, so K
+    # can sit high enough that the ~25 ms relay RTT is noise — and the deep
+    # ViT-stack modes no longer SIGKILL the relay compile helper the way
+    # their K>=4 *unrolled* harness did. Steady-state matches the unrolled
+    # harness (scripts/perf_r3f_probe.py).
     import jax
     import jax.numpy as jnp
 
     @jax.jit
     def step(k0, *args):
-        acc = jnp.float32(0)
-        for i in range(K):
-            acc = acc + body(k0 * K + i, *args)
-        return acc
+        return jax.lax.fori_loop(
+            0, K, lambda i, acc: acc + body(k0 * K + i, *args),
+            jnp.float32(0))
 
     _ = float(step(jnp.int32(0), *args))
     t0 = time.perf_counter()
@@ -104,7 +107,7 @@ def bench_htsat_maccdoa():
           dt, B, 10.0)
 
 
-def _serving_feats_bench(tag, overrides, fused_name, out_key, B=32, K=4):
+def _serving_feats_bench(tag, overrides, fused_name, out_key, B=32, K=32):
     import jax
     import jax.numpy as jnp
 
@@ -128,20 +131,20 @@ def _serving_feats_bench(tag, overrides, fused_name, out_key, B=32, K=4):
 
 
 def bench_passt_maccdoa():
-    # K=2: the PaSST fused path's K>=4 unrolled compile now reproducibly
-    # SIGKILLs the relay's compile helper (it compiled at K=4 in round 2);
-    # at K=2 the per-dispatch relay RTT is ~12 ms over a ~33 ms signal, so
-    # treat this mode's absolute number as a lower bound
+    # round-2/3 history: the unrolled harness could only compile this mode
+    # at K=2 (K>=4 SIGKILLed the relay compile helper), leaving a ~12 ms
+    # relay-RTT bias in a ~33 ms signal; the fori harness compiles the body
+    # once, so K=32 runs fine and the number is RTT-clean
     _serving_feats_bench(
         "passt_maccdoa_infer (fused ViT-block serving, bf16, offline feats)",
         ["model=passt", "loss=multi_accdoa"], "passt_fused_forward",
-        "multi_accdoa", K=2)
+        "multi_accdoa", K=32)
 
 
 def bench_einv2_agg():
     _serving_feats_bench(
         "einv2_htsat_agg_infer (fused dual-HTSAT serving, bf16, offline feats)",
-        ["loss=einv2_pit_agg"], "einv2_htsat_fused_forward", "doa")
+        ["loss=einv2_pit_agg"], "einv2_htsat_fused_forward", "doa", K=32)
 
 
 def bench_cnn14_accdoa():

@@ -26,8 +26,9 @@ import os as _os
 _os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(REPO / ".jax_cache"))
 
 B = 32
-K = 4  # fwd+bwd K-unrolled compiles are expensive; 4 keeps the ~25 ms
-       # relay round-trip under 6% of a ~110 ms step
+K = 16  # fori-loop harness (round 3): the body compiles once regardless of
+        # K, so K sits high enough that the ~25 ms relay RTT is <2% of the
+        # signal
 
 
 def make_labels(rng, B, T_label, K_cls=13):
@@ -65,7 +66,7 @@ def bench_mode(name, overrides):
 
     task = SELDTask(cfg, _Spec(), steps_per_epoch=100)
     state = task.init_state(jax.random.PRNGKey(0))
-    # donate=False: the step is re-traced inside the K-unrolled outer jit
+    # donate=False: the step is re-traced inside the K-iteration outer jit
     # below, where donation would be ignored (with a warning); the production
     # per-step dispatch keeps donation
     inner = task._make_train_step(donate=False)
@@ -81,14 +82,14 @@ def bench_mode(name, overrides):
 
     @jax.jit
     def kstep(state, base_x, labels, k):
-        acc = jnp.float32(0)
-        for i in range(K):
+        def body(i, carry):
+            state, acc = carry
             bx = base_x * (1.0 + 1e-4 * (k * K + i))
             state, losses = inner(state, bx, labels,
                                   jax.random.fold_in(key0, k * K + i),
                                   flags, ov1)
-            acc = acc + losses["loss_all"]
-        return state, acc
+            return state, acc + losses["loss_all"]
+        return jax.lax.fori_loop(0, K, body, (state, jnp.float32(0)))
 
     t0 = time.time()
     state, a = kstep(state, base_x, labels, jnp.int32(0))

@@ -263,13 +263,14 @@ def _kernel_r2(rows_main, rows_bnd, dft_ref, mel_ref, out_ref, *, nfh, n_ch,
 @partial(jax.jit, static_argnames=("n_fft", "hop", "window", "n_mels",
                                    "sample_rate", "t_blk", "interpret",
                                    "precision", "split3", "radix2",
-                                   "mel_precision", "pack", "iv_norm"))
+                                   "mel_precision", "pack", "iv_norm",
+                                   "prep"))
 def fused_logmel_iv(x: jnp.ndarray, *, n_fft: int = 1024, hop: int = 240,
                     window: str = "hann", n_mels: int = 64,
                     sample_rate: int = 24000, t_blk: int = 256,
                     interpret: bool = False, split3: bool = False,
                     radix2=None, mel_precision=None, pack: bool = True,
-                    iv_norm: str = "rsqrt",
+                    iv_norm: str = "rsqrt", prep: str = "transpose",
                     precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
     """(B, 4, samples) float32 -> (B, 7, n_frames, n_mels); numerical parity
     with ops.features.LogmelIVExtractor (and the reference torchaudio chain).
@@ -307,7 +308,7 @@ def fused_logmel_iv(x: jnp.ndarray, *, n_fft: int = 1024, hop: int = 240,
                             sample_rate=sample_rate, t_blk=t_blk,
                             interpret=interpret, split3=split3,
                             precision=precision, mel_precision=mel_precision,
-                            pack=pack, iv_norm=iv_norm,
+                            pack=pack, iv_norm=iv_norm, prep=prep,
                             n_frames=n_frames, t_pad=t_pad,
                             n_blocks=n_blocks)
 
@@ -381,7 +382,8 @@ def fused_logmel_iv(x: jnp.ndarray, *, n_fft: int = 1024, hop: int = 240,
 
 def _call_radix2(x, *, pl, pltpu, n_fft, hop, window, n_mels, sample_rate,
                  t_blk, interpret, split3, precision, n_frames, t_pad,
-                 n_blocks, mel_precision=None, pack=False, iv_norm="exact"):
+                 n_blocks, mel_precision=None, pack=False, iv_norm="exact",
+                 prep="transpose"):
     """Host prep + pallas_call for the radix-2 DIT kernel.
 
     Frame f covers padded[f*hop + n], n = 0..n_fft-1 (center=True reflect pad
@@ -412,10 +414,17 @@ def _call_radix2(x, *, pl, pltpu, n_fft, hop, window, n_mels, sample_rate,
              jnp.zeros((B, C, max(0, tail - half)), x.dtype)], axis=-1)
         pieces.append(right[..., :tail])
     sig = jnp.concatenate(pieces, axis=-1)[..., :2 * need]
-    # [b,c,r,k,p] = sig[b,c, (r*hh + k)*2 + p]: stream p, row r, sample k —
-    # one transpose materializes both decimated streams in row layout
-    rows = jnp.transpose(sig.reshape(B, C, rows_total, hh, 2),
-                         (0, 4, 1, 2, 3))  # (B, 2 streams, C, rows, hh)
+    # [b,c,r,k,p] = sig[b,c, (r*hh + k)*2 + p]: stream p, row r, sample k
+    if prep == "stride":
+        # two stride-2 lane slices + stack: same layout, different XLA
+        # lowering than the 5-D interleave transpose (A/B'd on-chip,
+        # scripts/perf_r3e_probe.py)
+        rows = jnp.stack([sig[..., 0::2], sig[..., 1::2]],
+                         axis=1).reshape(B, 2, C, rows_total, hh)
+    else:
+        # one transpose materializes both decimated streams in row layout
+        rows = jnp.transpose(sig.reshape(B, C, rows_total, hh, 2),
+                             (0, 4, 1, 2, 3))  # (B, 2 streams, C, rows, hh)
 
     # sub-DFT matrices: window folded in; odd stream pre-multiplied by the
     # W^k = exp(-2*pi*i*k/n_fft) twiddle so the kernel butterfly is add/sub

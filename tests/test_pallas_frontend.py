@@ -71,3 +71,13 @@ def test_fused_frontend_pack_and_rsqrt_variants(rng):
                                            err_msg=tag)
                 # vs the measured production baseline: tiny numerical drift
                 np.testing.assert_allclose(got, base, atol=2e-5, err_msg=tag)
+
+
+def test_fused_frontend_stride_prep_identical(rng):
+    """prep='stride' is a pure layout-op change — bit-identical output."""
+    x = rng.standard_normal((1, 4, 24000)).astype(np.float32) * 0.2
+    a = np.asarray(fused_logmel_iv(jnp.asarray(x), t_blk=32, interpret=True,
+                                   split3=True))
+    b = np.asarray(fused_logmel_iv(jnp.asarray(x), t_blk=32, interpret=True,
+                                   split3=True, prep="stride"))
+    np.testing.assert_array_equal(a, b)
