@@ -292,6 +292,7 @@ class SELDTask:
                 return fwd(variables, feats)
             return self.model.apply(variables, feats, train=False)
 
+        self._eval_core = eval_step  # un-jitted: reused by the ACS step
         return jax.jit(eval_step)
 
     # ---------------------------------------------------------------- public
@@ -412,38 +413,91 @@ class SELDTask:
             out = {k: v[:B] for k, v in out.items()}
         return out
 
-    def _acs_forward(self, state, batch_x):
+    _ACS_SIGNS = ((1, 1, 1), (-1, 1, 1), (1, -1, 1), (-1, -1, 1),
+                  (1, 1, -1), (-1, 1, -1), (1, -1, -1), (-1, -1, -1))
+
+    @staticmethod
+    def _acs_tables():
+        """Per-variant channel-permutation/sign tables for the 16 ACS
+        rotations, in the reference's enumeration order (8 sign combos x 2
+        channel swaps, components/model_module.py:269-303). Input side:
+        x_v[c] = in_sign[v,c] * x[in_perm[v,c]]. Output side: the DOA
+        de-rotation is the 3x3 signed permutation out_mat[v] applied on the
+        source-axis components."""
+        trans = {(0, 1, 2): (1, 2, 3), (1, 0, 2): (3, 2, 1)}
+        in_perm, in_sign, out_mat = [], [], []
+        for sign_x, sign_y, sign_z in SELDTask._ACS_SIGNS:
+            for (xx, yy, zz), (s_x, s_y, s_z) in trans.items():
+                in_perm.append([0, s_x, s_y, s_z])
+                in_sign.append([1.0, sign_y, sign_z, sign_x])
+                m = np.zeros((3, 3), np.float32)
+                for t, p in enumerate((xx, yy, zz)):
+                    m[t, p] = (sign_x, sign_y, sign_z)[p]
+                out_mat.append(m)
+        return (np.asarray(in_perm, np.int32),
+                np.asarray(in_sign, np.float32), np.stack(out_mat))
+
+    def _make_acs_step(self):
+        """One-dispatch ACS chunk: rotate V variants into the batch dim,
+        forward once at V*B, de-rotate and sum on device. The variant tables
+        ride as jit ARGS, so one compile serves every chunk; variant-major
+        flat ordering keeps the 5s-concat pairing and shard boundaries
+        aligned (B per device is even, so v*B offsets stay even)."""
+        core = self._eval_core
+        key = "multi_accdoa" if self.method == "multi_accdoa" else "accdoa"
+        tracks = 3 if key == "multi_accdoa" else 1
+        mesh = self.eval_mesh
+
+        def acs_step(params, batch_stats, batch_x, in_perm, in_sign, out_mat):
+            V = in_perm.shape[0]
+            B = batch_x.shape[0]
+            xv = jnp.take(batch_x, in_perm.reshape(-1), axis=1)
+            xv = xv.reshape(B, V, 4, -1) * in_sign[None, :, :, None]
+            xv = xv.transpose(1, 0, 2, 3).reshape(V * B, 4, -1)
+            if mesh.size > 1:
+                from jax.sharding import NamedSharding
+                from jax.sharding import PartitionSpec as P
+
+                xv = jax.lax.with_sharding_constraint(
+                    xv, NamedSharding(mesh, P("data", None, None)))
+            y = core(params, batch_stats, xv)[key]
+            T = y.shape[1]
+            y = y.reshape(V, B, T, tracks, 3, -1)
+            y = jnp.einsum("vts,vbmrsc->vbmrtc", out_mat, y)
+            return y.sum(0).reshape(B, T, -1)
+
+        return jax.jit(acs_step)
+
+    def _acs_forward(self, state, batch_x, chunk: Optional[int] = None):
         """16-way rotation test-time augmentation (reference
         components/model_module.py:269-303): 8 sign combos x 2 channel swaps,
-        forward each, de-rotate outputs, average."""
+        forward each, de-rotate outputs, average. Variants are folded into
+        the batch dimension (``chunk`` per dispatch): 16 small dispatches
+        with eager rotation ops between them collapse to 16/chunk full-batch
+        dispatches — on the dev relay that is ~6x fewer round-trips, and on
+        any backend the small-B forwards become MXU-efficient ones."""
         if self._eval_step_fn is None:
             self._eval_step_fn = self._make_eval_step()
+        if getattr(self, "_acs_step_fn", None) is None:
+            self._acs_step_fn = self._make_acs_step()
         params, batch_stats = self._localize_for_eval(state)
-        trans = {(0, 1, 2): (1, 2, 3), (1, 0, 2): (3, 2, 1)}
-        signs = [(1, 1, 1), (-1, 1, 1), (1, -1, 1), (-1, -1, 1),
-                 (1, 1, -1), (-1, 1, -1), (1, -1, -1), (-1, -1, -1)]
         key = "multi_accdoa" if self.method == "multi_accdoa" else "accdoa"
-        outs = []
-        for sign in signs:
-            for (xx, yy, zz), (s_x, s_y, s_z) in trans.items():
-                sign_x, sign_y, sign_z = sign
-                x = jnp.stack([batch_x[:, 0], sign_y * batch_x[:, s_x],
-                               sign_z * batch_x[:, s_y], sign_x * batch_x[:, s_z]],
-                              axis=1)
-                x = shard_batch(self.eval_mesh, x)
-                y = self._eval_step_fn(params, batch_stats, x)[key]
-                B, T = y.shape[:2]
-                tracks = 3 if key == "multi_accdoa" else 1
-                y = y.reshape(B, T, tracks, 3, -1) if tracks == 3 \
-                    else y.reshape(B, T, 3, -1)
-                axis = -2
-                comps = [sign_x * jnp.take(y, 0, axis), sign_y * jnp.take(y, 1, axis),
-                         sign_z * jnp.take(y, 2, axis)]
-                y = jnp.stack(comps, axis=axis)
-                y = jnp.stack([jnp.take(y, xx, axis), jnp.take(y, yy, axis),
-                               jnp.take(y, zz, axis)], axis=axis)
-                outs.append(y.reshape(B, T, -1))
-        return {key: jnp.mean(jnp.stack(outs), axis=0)}
+        in_perm, in_sign, out_mat = self._acs_tables()
+        if chunk is None:
+            # cap the folded batch at ~512 ten-second clips to bound
+            # activation memory; 16 % chunk == 0 keeps trace shapes to one
+            B = int(batch_x.shape[0])
+            chunk = next(c for c in (8, 4, 2, 1) if c * B <= 512 or c == 1)
+        batch_x = shard_batch(self.eval_mesh, batch_x)
+        total = None
+        for v0 in range(0, len(in_perm), chunk):
+            part = self._acs_step_fn(
+                params, batch_stats, batch_x,
+                jnp.asarray(in_perm[v0:v0 + chunk]),
+                jnp.asarray(in_sign[v0:v0 + chunk]),
+                jnp.asarray(out_mat[v0:v0 + chunk]))
+            total = part if total is None else total + part
+        return {key: total / len(in_perm)}
 
 
 def _kw(cfg_entry) -> Dict:
