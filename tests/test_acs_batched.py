@@ -82,6 +82,24 @@ def test_acs_batched_matches_naive_loop(rng):
                                    err_msg=f"chunk={chunk}")
 
 
+def test_acs_batched_sharded_mesh(rng):
+    """ACS on a 2-device data mesh (exercises the with_sharding_constraint
+    branch + variant-major shard alignment) must match the 1-device run."""
+    cfg = compose(str(REPO / "configs"), "train",
+                  ["loss=multi_accdoa"] + _TINY)
+    t1 = SELDTask(cfg, _Spec(), steps_per_epoch=10, num_devices=1)
+    s1 = t1.init_state(jax.random.PRNGKey(0))
+    t2 = SELDTask(cfg, _Spec(), steps_per_epoch=10, num_devices=2)
+    s2 = t2.init_state(jax.random.PRNGKey(0))
+
+    batch_x = jnp.asarray(
+        rng.standard_normal((4, 4, 64000)).astype(np.float32) * 0.2)
+    want = np.asarray(t1._acs_forward(s1, batch_x)["multi_accdoa"])
+    got = np.asarray(t2._acs_forward(
+        s2, jnp.asarray(batch_x))["multi_accdoa"])
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
 def test_acs_batched_matches_naive_loop_accdoa(rng):
     task, state = _task("accdoa")
     batch_x = jnp.asarray(
