@@ -124,6 +124,112 @@ def _iv_normalize(iv, iv_norm):
     return iv / (jnp.sqrt(s2) + EPS_F32)
 
 
+# window -> exact 3-tap frequency response (periodic cosine-sum windows):
+# w[n] = a0 + b*cos(2*pi*n/N)  =>  X_w[k] = a0*X[k] + (b/2)*(X[k-1] + X[k+1])
+_WIN_3TAP = {"hann": (0.5, -0.25), "hamming": (0.54, -0.23)}
+
+
+def _kernel_dif(rows_main, rows_bnd, dft_ref, mel_ref, out_ref, *, nfh, hh,
+                n_ch, t_blk, n_parts, precision, split3, win_a0, win_a1,
+                iv_norm="exact"):
+    """Radix-2 DIF variant: sum/diff half-frame streams + frequency-domain
+    window.
+
+    Unlike DIT (which decimates the SIGNAL into even/odd sample streams —
+    an XLA interleave transpose, ~4.5 ms/batch at B=128), DIF combines the
+    two halves of each frame: u[n] = x[n] + x[n+N/2] gives the even bins,
+    v[n] = x[n] - x[n+N/2] (twiddled) the odd bins. Both are hop-shifted
+    views of GLOBAL sum/diff signals y±[p] = padded[p] ± padded[p+N/2] —
+    pure elementwise prep. The N/2-point sub-DFTs decompose over rows of
+    height hh = hop/2; frame f needs hh-rows 2f+j, which are stride-1 lane
+    slices [(j&1)*hh : +hh] of hop-height rows at sublane offset f + j//2 —
+    no strided access anywhere. Same MAC count as DIT.
+
+    The window cannot be folded into the DFT matrices (the butterfly must
+    happen pre-matmul on unwindowed samples), so it is applied EXACTLY in
+    the frequency domain: periodic cosine-sum windows are 3-tap there
+    (X_w[k] = a0*X[k] + a1*(X[k-1]+X[k+1])), with conjugate-symmetry edge
+    fixups X[-1] = conj(X[1]), X[N/2+1] = conj(X[N/2-1]) for real input.
+    """
+    moff = (n_parts - 1) // 2  # boundary hop-rows beyond the t_blk mains
+
+    def chain(stream):
+        slab = rows_main[0, stream]
+        if moff:
+            slab = jnp.concatenate(
+                [slab, rows_bnd[0, stream][:, :moff]], axis=1)
+        spec = None
+        if split3:
+            s_hi = slab.astype(jnp.bfloat16)
+            s_lo = (slab - s_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            for j in range(n_parts):
+                off, lo = j // 2, (j & 1) * hh
+                a_hi = s_hi[:, off:off + t_blk, lo:lo + hh]
+                a_lo = s_lo[:, off:off + t_blk, lo:lo + hh]
+                a3 = jnp.concatenate([a_hi, a_hi, a_lo], axis=-1).reshape(
+                    n_ch * t_blk, 3 * hh)
+                s = jnp.dot(a3, dft_ref[stream, j],
+                            preferred_element_type=jnp.float32)
+                spec = s if spec is None else spec + s
+        else:
+            for j in range(n_parts):
+                off, lo = j // 2, (j & 1) * hh
+                a = slab[:, off:off + t_blk, lo:lo + hh].reshape(
+                    n_ch * t_blk, hh)
+                s = jnp.dot(a, dft_ref[stream, j], precision=precision,
+                            preferred_element_type=jnp.float32)
+                spec = s if spec is None else spec + s
+        return spec.reshape(n_ch, t_blk, 2 * nfh)
+
+    u = chain(0)   # even bins: U[k] = X[2k], k = 0..nfh-1
+    v = chain(1)   # odd bins:  V[k] = X[2k+1], k = 0..nfh-2 (last col zero)
+    ur, ui = u[:, :, :nfh], u[:, :, nfh:]
+    vr, vi = v[:, :, :nfh], v[:, :, nfh:]
+
+    # V[k-1] with the bin -1 fixup conj(V[0]); V[k]+... at k = nfh-1 (bin
+    # N/2) needs V[nfh-1] := conj(V[nfh-2]) in place of the zero column
+    vprev_r = jnp.concatenate([vr[:, :, :1], vr[:, :, :-1]], axis=-1)
+    vprev_i = jnp.concatenate([-vi[:, :, :1], vi[:, :, :-1]], axis=-1)
+    vfix_r = jnp.concatenate([vr[:, :, :-1], vr[:, :, -2:-1]], axis=-1)
+    vfix_i = jnp.concatenate([vi[:, :, :-1], -vi[:, :, -2:-1]], axis=-1)
+    # U[k+1] for the odd bins; the trailing garbage lane pairs with the
+    # zero mel row but must stay finite
+    unext_r = jnp.concatenate(
+        [ur[:, :, 1:], jnp.zeros_like(ur[:, :, :1])], axis=-1)
+    unext_i = jnp.concatenate(
+        [ui[:, :, 1:], jnp.zeros_like(ui[:, :, :1])], axis=-1)
+
+    even_r = win_a0 * ur + win_a1 * (vprev_r + vfix_r)
+    even_i = win_a0 * ui + win_a1 * (vprev_i + vfix_i)
+    odd_r = win_a0 * vr + win_a1 * (ur + unext_r)
+    odd_i = win_a0 * vi + win_a1 * (ui + unext_i)
+
+    # lane-packed halves from here on, exactly like _kernel_r2's pack path
+    re2 = jnp.concatenate([even_r, odd_r], axis=-1)
+    im2 = jnp.concatenate([even_i, odd_i], axis=-1)
+
+    def melp(v):
+        lead = v.shape[:-1]
+        if split3:
+            vf = v.reshape(-1, 2 * nfh)
+            v_hi = vf.astype(jnp.bfloat16)
+            v_lo = (vf - v_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            vv = jnp.concatenate([v_hi, v_hi, v_lo], axis=-1)
+            flat = jnp.dot(vv, mel_ref[:, :],
+                           preferred_element_type=jnp.float32)
+        else:
+            flat = jnp.dot(v.reshape(-1, 2 * nfh), mel_ref[:, :],
+                           precision=precision,
+                           preferred_element_type=jnp.float32)
+        return flat.reshape(lead + (mel_ref.shape[-1],))
+
+    power = re2 * re2 + im2 * im2
+    out_ref[0, 0:n_ch, :, :] = 10.0 * jnp.log10(
+        jnp.maximum(melp(power), 1e-10))
+    iv = re2[1:4] * re2[0][None] + im2[1:4] * im2[0][None]
+    out_ref[0, n_ch:n_ch + 3, :, :] = melp(_iv_normalize(iv, iv_norm))
+
+
 def _kernel_r2(rows_main, rows_bnd, dft_ref, mel_ref, out_ref, *, nfh, n_ch,
                t_blk, n_parts, precision, split3, mel_precision=None,
                pack=False, iv_norm="exact"):
@@ -264,13 +370,14 @@ def _kernel_r2(rows_main, rows_bnd, dft_ref, mel_ref, out_ref, *, nfh, n_ch,
                                    "sample_rate", "t_blk", "interpret",
                                    "precision", "split3", "radix2",
                                    "mel_precision", "pack", "iv_norm",
-                                   "prep"))
+                                   "prep", "variant"))
 def fused_logmel_iv(x: jnp.ndarray, *, n_fft: int = 1024, hop: int = 240,
                     window: str = "hann", n_mels: int = 64,
                     sample_rate: int = 24000, t_blk: int = 256,
                     interpret: bool = False, split3: bool = False,
                     radix2=None, mel_precision=None, pack: bool = True,
                     iv_norm: str = "rsqrt", prep: str = "transpose",
+                    variant: str = "dit",
                     precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
     """(B, 4, samples) float32 -> (B, 7, n_frames, n_mels); numerical parity
     with ops.features.LogmelIVExtractor (and the reference torchaudio chain).
@@ -303,6 +410,14 @@ def fused_logmel_iv(x: jnp.ndarray, *, n_fft: int = 1024, hop: int = 240,
     if radix2 is None:
         radix2 = True
     if radix2 and n_fft % 2 == 0 and hop % 2 == 0:
+        if variant == "dif" and window in _WIN_3TAP:
+            return _call_dif(x, pl=pl, pltpu=pltpu, n_fft=n_fft, hop=hop,
+                             window=window, n_mels=n_mels,
+                             sample_rate=sample_rate, t_blk=t_blk,
+                             interpret=interpret, split3=split3,
+                             precision=precision, iv_norm=iv_norm,
+                             n_frames=n_frames, t_pad=t_pad,
+                             n_blocks=n_blocks)
         return _call_radix2(x, pl=pl, pltpu=pltpu, n_fft=n_fft, hop=hop,
                             window=window, n_mels=n_mels,
                             sample_rate=sample_rate, t_blk=t_blk,
@@ -498,6 +613,105 @@ def _call_radix2(x, *, pl, pltpu, n_fft, hop, window, n_mels, sample_rate,
                          memory_space=pltpu.VMEM),
             dft_spec,
             mel_spec,
+        ],
+        out_specs=pl.BlockSpec((1, 7, t_blk, n_mels), lambda b, t: (b, 0, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 7, t_pad, n_mels), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(rows, rows, jnp.asarray(parts), jnp.asarray(mel2))
+    return out[:, :, :n_frames, :]
+
+
+def _call_dif(x, *, pl, pltpu, n_fft, hop, window, n_mels, sample_rate,
+              t_blk, interpret, split3, precision, n_frames, t_pad,
+              n_blocks, iv_norm="exact"):
+    """Host prep + pallas_call for the radix-2 DIF kernel (_kernel_dif).
+
+    Prep is pure elementwise: y±[p] = padded[p] ± padded[p + n_fft/2],
+    reshaped straight into hop-height rows — replacing the DIT path's
+    even/odd interleave transpose (the dominant XLA prep cost,
+    ~4.5 ms/batch at B=128, docs/PERF.md round-3 profile).
+    """
+    B, C, N = x.shape
+    hf, hh = n_fft // 2, hop // 2
+    nfh = hf // 2 + 1
+    n_freqs = n_fft // 2 + 1
+    n_parts = -(-hf // hh)
+    moff = (n_parts - 1) // 2  # extra hop-rows a grid cell reads past t_blk
+    bnd_blk = _bnd_blk(max(1, moff), t_blk)
+    win_a0, win_a1 = _WIN_3TAP[window]
+
+    rows_total = n_blocks * t_blk + bnd_blk
+    need = rows_total * hop
+    half = n_fft // 2
+    total = need + hf  # the shifted operand reads hf samples further
+    pieces = [x[..., 1:half + 1][..., ::-1], x]
+    tail = total - (N + half)
+    if tail > 0:
+        right = jnp.concatenate(
+            [x[..., -(half + 1):-1][..., ::-1],
+             jnp.zeros((B, C, max(0, tail - half)), x.dtype)], axis=-1)
+        pieces.append(right[..., :tail])
+    padded = jnp.concatenate(pieces, axis=-1)[..., :total]
+    base = padded[..., :need]
+    shft = padded[..., hf:hf + need]
+    rows = jnp.stack([base + shft, base - shft], axis=1).reshape(
+        B, 2, C, rows_total, hop)
+
+    # sub-DFT matrices over frame-relative n = 0..hf-1, k = 0..nfh-1:
+    # sum stream -> even bins X[2k]; diff stream pre-twiddled -> odd bins
+    # X[2k+1] (its last column, bin n_fft/2 + 1, does not exist: zeroed)
+    m = np.arange(hf)
+    kk = np.arange(nfh)
+    base_m = np.exp(-2j * np.pi * np.outer(m, kk) / hf)
+    m0 = base_m
+    m1 = np.exp(-1j * np.pi * m / hf)[:, None] * base_m
+    m1 = m1.copy()
+    m1[:, nfh - 1] = 0.0
+    mats = []
+    for mc in (m0, m1):
+        dr = np.concatenate([mc.real, mc.imag], axis=1).astype(np.float32)
+        p = np.zeros((n_parts, hh, 2 * nfh), np.float32)
+        for j in range(n_parts):
+            seg = dr[j * hh: min((j + 1) * hh, hf)]
+            p[j, : seg.shape[0]] = seg
+        mats.append(p)
+    parts = np.stack(mats, axis=0)  # (2, np, hh, 2*nfh)
+    if split3:
+        hi = np.asarray(parts.astype(jnp.bfloat16))
+        lo = np.asarray((parts - np.asarray(hi, np.float32)
+                         ).astype(jnp.bfloat16))
+        parts = np.concatenate([hi, lo, hi], axis=2)  # pairs [a_hi|a_hi|a_lo]
+
+    # packed mel: rows [even bins 0,2,..,n_fft/2 ; odd bins 1,3,..,n_fft/2-1]
+    mel = mel_filterbank(sample_rate, n_fft, n_mels, fmin=20.0,
+                         fmax=sample_rate / 2.0, scale="htk", norm="slaney")
+    mel2 = np.zeros((2 * nfh, n_mels), np.float32)
+    mel2[:nfh] = mel[0::2]
+    mel2[nfh:nfh + (n_freqs - nfh)] = mel[1::2]
+    if split3:
+        m_hi = np.asarray(mel2.astype(jnp.bfloat16))
+        m_lo = np.asarray((mel2 - np.asarray(m_hi, np.float32)
+                           ).astype(jnp.bfloat16))
+        mel2 = np.concatenate([m_hi, m_lo, m_hi], axis=0)
+
+    k_dim = 3 * hh if split3 else hh
+    out = pl.pallas_call(
+        partial(_kernel_dif, nfh=nfh, hh=hh, n_ch=C, t_blk=t_blk,
+                n_parts=n_parts, precision=precision, split3=split3,
+                win_a0=win_a0, win_a1=win_a1, iv_norm=iv_norm),
+        grid=(B, n_blocks),
+        in_specs=[
+            pl.BlockSpec((1, 2, C, t_blk, hop), lambda b, t: (b, 0, 0, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, C, bnd_blk, hop),
+                         lambda b, t: (b, 0, 0, (t + 1) * (t_blk // bnd_blk), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, n_parts, k_dim, 2 * nfh),
+                         lambda b, t: (0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((mel2.shape[0], n_mels), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 7, t_blk, n_mels), lambda b, t: (b, 0, t, 0),
                                memory_space=pltpu.VMEM),

@@ -81,3 +81,27 @@ def test_fused_frontend_stride_prep_identical(rng):
     b = np.asarray(fused_logmel_iv(jnp.asarray(x), t_blk=32, interpret=True,
                                    split3=True, prep="stride"))
     np.testing.assert_array_equal(a, b)
+
+
+def test_fused_frontend_dif_variant(rng):
+    """Radix-2 DIF (sum/diff streams + exact 3-tap frequency-domain window)
+    matches the reference chain for hann and hamming, f32 and split3, and at
+    a non-divisible nfft/hop pair."""
+    x = rng.standard_normal((1, 4, 24000)).astype(np.float32) * 0.2
+    for window in ("hann", "hamming"):
+        cfg = {"data": dict(CFG["data"], window=window)}
+        ref = np.asarray(LogmelIVExtractor(cfg)(jnp.asarray(x)))
+        for split3 in (False, True):
+            got = np.asarray(fused_logmel_iv(
+                jnp.asarray(x), t_blk=32, interpret=True, window=window,
+                variant="dif", split3=split3))
+            np.testing.assert_allclose(got[:, :4], ref[:, :4], atol=5e-3,
+                                       err_msg=f"{window} s3={split3}")
+            np.testing.assert_allclose(got[:, 4:], ref[:, 4:], atol=1e-4,
+                                       err_msg=f"{window} s3={split3}")
+    # hf (=256) not a multiple of hh (=50): padded last part + moff=2 bounds
+    a = np.asarray(fused_logmel_iv(jnp.asarray(x), t_blk=32, interpret=True,
+                                   variant="dif", n_fft=512, hop=100))
+    b = np.asarray(fused_logmel_iv(jnp.asarray(x), t_blk=32, interpret=True,
+                                   radix2=False, n_fft=512, hop=100))
+    np.testing.assert_allclose(a, b, atol=5e-4)
