@@ -370,14 +370,14 @@ def _kernel_r2(rows_main, rows_bnd, dft_ref, mel_ref, out_ref, *, nfh, n_ch,
                                    "sample_rate", "t_blk", "interpret",
                                    "precision", "split3", "radix2",
                                    "mel_precision", "pack", "iv_norm",
-                                   "prep", "variant"))
+                                   "prep", "variant", "trim"))
 def fused_logmel_iv(x: jnp.ndarray, *, n_fft: int = 1024, hop: int = 240,
                     window: str = "hann", n_mels: int = 64,
                     sample_rate: int = 24000, t_blk: int = 256,
                     interpret: bool = False, split3: bool = False,
                     radix2=None, mel_precision=None, pack: bool = True,
                     iv_norm: str = "rsqrt", prep: str = "transpose",
-                    variant: str = "dit",
+                    variant: str = "dit", trim=None,
                     precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
     """(B, 4, samples) float32 -> (B, 7, n_frames, n_mels); numerical parity
     with ops.features.LogmelIVExtractor (and the reference torchaudio chain).
@@ -423,7 +423,7 @@ def fused_logmel_iv(x: jnp.ndarray, *, n_fft: int = 1024, hop: int = 240,
                             sample_rate=sample_rate, t_blk=t_blk,
                             interpret=interpret, split3=split3,
                             precision=precision, mel_precision=mel_precision,
-                            pack=pack, iv_norm=iv_norm, prep=prep,
+                            pack=pack, iv_norm=iv_norm, prep=prep, trim=trim,
                             n_frames=n_frames, t_pad=t_pad,
                             n_blocks=n_blocks)
 
@@ -498,7 +498,7 @@ def fused_logmel_iv(x: jnp.ndarray, *, n_fft: int = 1024, hop: int = 240,
 def _call_radix2(x, *, pl, pltpu, n_fft, hop, window, n_mels, sample_rate,
                  t_blk, interpret, split3, precision, n_frames, t_pad,
                  n_blocks, mel_precision=None, pack=False, iv_norm="exact",
-                 prep="transpose"):
+                 prep="transpose", trim=None):
     """Host prep + pallas_call for the radix-2 DIT kernel.
 
     Frame f covers padded[f*hop + n], n = 0..n_fft-1 (center=True reflect pad
@@ -541,11 +541,32 @@ def _call_radix2(x, *, pl, pltpu, n_fft, hop, window, n_mels, sample_rate,
         rows = jnp.transpose(sig.reshape(B, C, rows_total, hh, 2),
                              (0, 4, 1, 2, 3))  # (B, 2 streams, C, rows, hh)
 
+    mel = mel_filterbank(sample_rate, n_fft, n_mels, fmin=20.0,
+                         fmax=sample_rate / 2.0, scale="htk", norm="slaney")
+
+    # Lane-trim: each chain's [re(nfh) | im(nfh)] output is 2*nfh = 514
+    # lanes -> MXU-padded to 640 (5 lane tiles). Bins 0 (DC, below fmin)
+    # and n_fft/2 (Nyquist, exactly at the last mel triangle's edge) have
+    # ~zero mel weight, and the D half's last lane is dead by construction
+    # (only nfh-1 real bins) — so remap sub-DFT column 0 to generate bin
+    # hf/2 instead of bin 0 and drop the last column: both chains become
+    # exactly 256 lanes (4 tiles), a 20% MXU saving on the dominant dots,
+    # with the S half covering bins [hf/2, 1..hf/2-1] and the D half
+    # [dup, hf-1 .. hf/2+1]. Numerically exact (dropped weights < 1e-8).
+    if trim is None:
+        trim = (hf % 2 == 0
+                and abs(mel[0]).max() < 1e-8
+                and abs(mel[n_freqs - 1]).max() < 1e-8)
+    if trim:
+        kk = np.concatenate([[hf // 2], np.arange(1, hf // 2)])
+        nfh = hf // 2
+    else:
+        kk = np.arange(nfh)
+
     # sub-DFT matrices: window folded in; odd stream pre-multiplied by the
     # W^k = exp(-2*pi*i*k/n_fft) twiddle so the kernel butterfly is add/sub
     win = get_window(window, n_fft).astype(np.float64)
     m = np.arange(hf)
-    kk = np.arange(nfh)
     base = np.exp(-2j * np.pi * np.outer(m, kk) / hf)
     tw = np.exp(-1j * np.pi * kk / hf)
     mats = []
@@ -568,11 +589,13 @@ def _call_radix2(x, *, pl, pltpu, n_fft, hop, window, n_mels, sample_rate,
         # [a_hi | a_hi | a_lo] operand -> (2 stream, np, 3*hh, 2*nfh)
         parts = np.concatenate([hi, lo, hi], axis=2)
 
-    mel = mel_filterbank(sample_rate, n_fft, n_mels, fmin=20.0,
-                         fmax=sample_rate / 2.0, scale="htk", norm="slaney")
     mel2 = np.zeros((2, nfh, n_mels), np.float32)
-    mel2[0] = mel[:nfh]
-    mel2[1, : nfh - 1] = mel[n_freqs - 1: nfh - 1: -1]  # bins N/2..nfh rev
+    if trim:
+        mel2[0] = mel[kk]                      # S half: bins [hf/2, 1..]
+        mel2[1, 1:] = mel[n_fft // 2 - kk[1:]]  # D half: bins hf-1..hf/2+1
+    else:
+        mel2[0] = mel[:nfh]
+        mel2[1, : nfh - 1] = mel[n_freqs - 1: nfh - 1: -1]  # bins N/2.. rev
 
     mel_fold = split3 if mel_precision is None else mel_precision == "split3"
     if pack:  # lane-packed halves -> ONE mel dot over [mel_lo; mel_hi]

@@ -83,6 +83,27 @@ def test_fused_frontend_stride_prep_identical(rng):
     np.testing.assert_array_equal(a, b)
 
 
+def test_fused_frontend_lane_trim(rng):
+    """Lane-trim (drop the zero-weight DC/Nyquist bins, remap bin hf/2 into
+    the dead column: 2*nfh 514 -> 512, MXU-tile aligned) matches the
+    untrimmed kernel within accumulation-order noise, incl. the production
+    split3 config and a non-divisible nfft/hop pair."""
+    x = rng.standard_normal((1, 4, 24000)).astype(np.float32) * 0.2
+    for split3 in (False, True):
+        a = np.asarray(fused_logmel_iv(jnp.asarray(x), t_blk=32,
+                                       interpret=True, split3=split3,
+                                       trim=False))
+        b = np.asarray(fused_logmel_iv(jnp.asarray(x), t_blk=32,
+                                       interpret=True, split3=split3))
+        np.testing.assert_allclose(a, b, atol=1e-4,
+                                   err_msg=f"split3={split3}")
+    a = np.asarray(fused_logmel_iv(jnp.asarray(x), t_blk=32, interpret=True,
+                                   n_fft=512, hop=100, trim=False))
+    b = np.asarray(fused_logmel_iv(jnp.asarray(x), t_blk=32, interpret=True,
+                                   n_fft=512, hop=100))
+    np.testing.assert_allclose(a, b, atol=2e-4)
+
+
 def test_fused_frontend_dif_variant(rng):
     """Radix-2 DIF (sum/diff streams + exact 3-tap frequency-domain window)
     matches the reference chain for hann and hamming, f32 and split3, and at
