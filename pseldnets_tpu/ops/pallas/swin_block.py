@@ -17,6 +17,7 @@ with f32 accumulation; LayerNorm, softmax, and residual adds in f32 — the
 same contract as the flax bf16 path.
 """
 
+import math
 from functools import partial
 from typing import Any, Dict
 
@@ -113,11 +114,17 @@ def _softmax(s: jnp.ndarray, fast: bool = False) -> jnp.ndarray:
 def _block_kernel(x_ref, dp_ref, ln1s, ln1b, qkvw, qkvb, projw, projb,
                   ln2s, ln2b, fc1w, fc1b, fc2w, fc2b, bias_ref, mask_ref,
                   out_ref, *, H, W, C, nh, w, shift, hidden, has_mask,
-                  has_dp, compute_dtype):
+                  has_dp, compute_dtype, attn_impl="exact"):
     N = w * w
     nW = (H // w) * (W // w)
     hd = C // nh
     scale = hd ** -0.5
+    if attn_impl == "exp2":
+        # fold log2(e) into the q-scale so softmax's exp becomes the VPU's
+        # native exp2 (bias/mask tables are pre-scaled by the caller); the
+        # normalizing divide moves AFTER the PV matmul, touching (N, hd=24)
+        # rows instead of the (N, N=64) score matrix
+        scale = scale * math.log2(math.e)
     cd = compute_dtype
     G, L = x_ref.shape[0], H * W  # G images per grid cell
 
@@ -151,9 +158,17 @@ def _block_kernel(x_ref, dp_ref, ln1s, ln1b, qkvw, qkvb, projw, projb,
         s = s + bias_ref[hh][None]
         if has_mask:
             s = (s.reshape(G, nW, N, N) + mask_ref[:][None]).reshape(G * nW, N, N)
-        p = _softmax(s, fast).astype(cd)  # (G*nW, N, N)
-        o = jax.lax.dot_general(p, v, (((2,), (1,)), ((0,), (0,))),
-                                preferred_element_type=jnp.float32)
+        if attn_impl == "exp2":
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp2(s - m)
+            denom = jnp.sum(e, axis=-1, keepdims=True)  # f32, pre-cast
+            o = jax.lax.dot_general(e.astype(cd), v, (((2,), (1,)), ((0,), (0,))),
+                                    preferred_element_type=jnp.float32)
+            o = o / denom
+        else:
+            p = _softmax(s, fast).astype(cd)  # (G*nW, N, N)
+            o = jax.lax.dot_general(p, v, (((2,), (1,)), ((0,), (0,))),
+                                    preferred_element_type=jnp.float32)
         heads.append(o.reshape(G * nW * N, hd))
     attn = jnp.concatenate(heads, axis=-1).astype(cd)  # (G*nW*N, C)
 
@@ -220,7 +235,7 @@ def _rel_bias(table: jnp.ndarray, w: int, nh: int) -> jnp.ndarray:
 
 def swin_block_fused(x: jnp.ndarray, p: Dict, *, H: int, W: int, nh: int,
                      window: int, shift: int, compute_dtype=jnp.bfloat16,
-                     group: int = 0, dp_masks=None,
+                     group: int = 0, dp_masks=None, attn_impl: str = "exact",
                      interpret: bool = False) -> jnp.ndarray:
     """x (B, H*W, C) + the block's flax param subtree -> (B, H*W, C).
 
@@ -262,6 +277,12 @@ def swin_block_fused(x: jnp.ndarray, p: Dict, *, H: int, W: int, nh: int,
     else:
         mask = jnp.zeros((1, N, N), jnp.float32)
         has_mask = False
+    if attn_impl == "exp2":
+        # pre-scale the additive logit terms by log2(e) to match the folded
+        # q-scale (exp2(log2e*x) == exp(x) exactly in math; fp dev ~1 ulp)
+        log2e = math.log2(math.e)
+        bias = bias * log2e
+        mask = mask * log2e
 
     def v1(a):  # 1-D param -> (1, D) for 2-D VMEM layout
         return jnp.asarray(a, jnp.float32).reshape(1, -1)
@@ -297,7 +318,7 @@ def swin_block_fused(x: jnp.ndarray, p: Dict, *, H: int, W: int, nh: int,
     return pl.pallas_call(
         partial(_block_kernel, H=H, W=W, C=C, nh=nh, w=w, shift=shift,
                 hidden=hidden, has_mask=has_mask, has_dp=has_dp,
-                compute_dtype=compute_dtype),
+                compute_dtype=compute_dtype, attn_impl=attn_impl),
         grid=(B // G,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((G, L, C), lambda b: (b, 0, 0),

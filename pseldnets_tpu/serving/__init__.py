@@ -1,5 +1,6 @@
 """Serving-side fused inference paths (Pallas kernels over flax param trees)."""
 
+from .crnn import crnn_fused_forward  # noqa: F401
 from .einv2 import einv2_htsat_fused_forward  # noqa: F401
 from .htsat import htsat_fused_forward  # noqa: F401
 from .passt import passt_fused_forward  # noqa: F401

@@ -55,6 +55,7 @@ def _dense_p(d: Dict) -> Dict:
 
 def htsat_fused_forward(model: "heads.HTSAT", variables, x: jnp.ndarray,
                         compute_dtype: Dtype = jnp.bfloat16,
+                        attn_impl: str = "exact",
                         interpret: bool = False) -> Dict[str, jnp.ndarray]:
     """Eval-mode forward equal to ``model.apply(variables, x, train=False)``."""
     p = variables["params"]
@@ -112,7 +113,7 @@ def htsat_fused_forward(model: "heads.HTSAT", variables, x: jnp.ndarray,
             x = swin_block_fused(
                 x, lp[f"blocks_{j}"], H=Hi, W=Wi, nh=num_heads[i],
                 window=w_i, shift=shift, compute_dtype=compute_dtype,
-                interpret=interpret)
+                attn_impl=attn_impl, interpret=interpret)
         if i < num_layers - 1:  # PatchMerging (models.htsat.PatchMerging)
             dm = lp["downsample"]
             v = x.reshape(Bp, Hi, Wi, -1)

@@ -38,6 +38,12 @@ def test_swin_block_kernel_parity(rng):
                                           compute_dtype=jnp.float32,
                                           interpret=True))
         assert np.abs(got - ref).max() < 2e-5
+        # exp2-folded softmax + post-PV normalization: same math, fp-only dev
+        got2 = np.asarray(swin_block_fused(x, vs["params"], H=H, W=W, nh=nh,
+                                           window=w, shift=shift,
+                                           compute_dtype=jnp.float32,
+                                           attn_impl="exp2", interpret=True))
+        assert np.abs(got2 - ref).max() < 5e-5
 
 
 def test_htsat_fused_forward_parity(rng):
@@ -233,3 +239,24 @@ def test_swin_stage_v2_no_shift(rng):
                                          compute_dtype=jnp.float32,
                                          interpret=True))
     assert np.abs(got - np.asarray(ref)).max() < 5e-5
+
+
+def test_crnn_fused_forward_parity(rng):
+    """crnn_fused_forward (folded BNs, slice pooling, flattened conformer,
+    interp+mean matrix) == flax CRNN.apply eval, f32."""
+    from pseldnets_tpu.serving import crnn_fused_forward
+
+    for tracks, pool, barrier in ((1, "slice", True), (3, "avg", False)):
+        model = heads.CRNN(num_classes=4, in_channels=7, encoder="CNN8",
+                           num_features=(8, 16, 16, 24), decoder="conformer",
+                           num_decoder_layers=1, mel_bins=16, pred_res=10,
+                           num_tracks=tracks)
+        x = jnp.asarray(rng.standard_normal((2, 7, 80, 16)).astype(np.float32))
+        vs = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+        ref = np.asarray(model.apply(vs, x, train=False)[model.output_key])
+        got = np.asarray(crnn_fused_forward(
+            model, vs, x, compute_dtype=jnp.float32, pool=pool,
+            ffn_barrier=barrier)[model.output_key])
+        assert got.shape == ref.shape
+        dev = np.abs(got - ref).max()
+        assert dev < 5e-5, dev
