@@ -8,9 +8,9 @@ Modes (default: all, or pass a subset as argv):
   htsat_maccdoa   flagship inference: pallas frontend + stage-fused HTSAT
   passt_maccdoa   fused PaSST mACCDOA inference (ViT-block kernels)
   einv2_agg       fused EINV2 dual-HTSAT (AGG-loss config) inference
-  cnn14_accdoa    CRNN (PANNs Cnn14 trunk = CNN12 encoder) ACCDOA inference —
-                  XLA convs map straight onto the MXU, so the conv stack runs
-                  un-fused by design; this is its first recorded number
+  cnn14_accdoa    CRNN (PANNs Cnn14 trunk = CNN12 encoder) ACCDOA inference
+                  via the fused serving path (folded eval BNs, flattened
+                  conformer denses, interp+mean matmul — serving/crnn.py)
   adapterbit_train AdapterBit fine-tune train step (frozen backbone)
 
 Methodology per CLAUDE.md: one process, K batches per dispatch with varying
@@ -153,6 +153,8 @@ def bench_cnn14_accdoa():
 
     from pseldnets_tpu.ops.pallas.frontend import fused_logmel_iv
 
+    from pseldnets_tpu.serving import crnn_fused_forward
+
     cfg, model = _build(["model=crnn", "loss=accdoa"])
     B = 128
     extractor = lambda w: fused_logmel_iv(w, split3=True)  # noqa: E731
@@ -163,12 +165,12 @@ def bench_cnn14_accdoa():
                              jnp.float32) * 0.1
     jax.block_until_ready(base)
     dt = _k_time(
-        lambda k, w, v: model.apply(
-            v, extractor(w * (1.0 + 1e-4 * k)),
-            train=False)["accdoa"].astype(jnp.float32).mean(),
+        lambda k, w, v: crnn_fused_forward(
+            model, v, extractor(w * (1.0 + 1e-4 * k)))["accdoa"].astype(
+                jnp.float32).mean(),
         (base, variables))
-    _emit("cnn14_accdoa_infer (pallas frontend + flax Cnn14-trunk CRNN, bf16)",
-          dt, B, 10.0)
+    _emit("cnn14_accdoa_infer (pallas frontend + fused CRNN serving "
+          "[folded BNs, flattened conformer], bf16)", dt, B, 10.0)
 
 
 def bench_adapterbit_train():

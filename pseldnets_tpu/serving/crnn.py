@@ -9,8 +9,10 @@ tail. This path removes those at the XLA level (no Pallas needed — convs
 are already MXU-native):
 
 - eval BatchNorms fold into conv kernels/bias (exact identity),
-- avg_pool runs as strided-slice adds (``pool="slice"``) or reduce-window
-  (``pool="avg"``),
+- avg_pool stays reduce-window (``pool="avg"``, measured FASTER than the
+  strided-slice-add variant: 53.3 vs 62.1 ms/batch trunk-only — the
+  frontend's stride-slice lesson repeats; ``pool="slice"`` kept as the
+  documented loser, scripts/perf_r4c_probe.py),
 - conformer runs with (B*T, C)-flattened denses, optionally separated by
   ``lax.optimization_barrier`` so XLA cannot re-fuse fc1+fc2
   (``ffn_barrier``),
@@ -35,18 +37,20 @@ Dtype = Any
 
 
 def _affine_from_bn(bn_p, bn_s, eps=1e-5):
-    inv = np.asarray(bn_p["weight"], np.float32) / np.sqrt(
-        np.asarray(bn_s["running_var"], np.float32) + eps)
-    shift = np.asarray(bn_p["bias"], np.float32) - \
-        np.asarray(bn_s["running_mean"], np.float32) * inv
+    # jnp (traceable): variables ride as jit args in the eval/bench paths,
+    # so the fold happens in-graph (~80M multiplies for CNN12 — negligible)
+    inv = jnp.asarray(bn_p["weight"], jnp.float32) * jax.lax.rsqrt(
+        jnp.asarray(bn_s["running_var"], jnp.float32) + eps)
+    shift = jnp.asarray(bn_p["bias"], jnp.float32) - \
+        jnp.asarray(bn_s["running_mean"], jnp.float32) * inv
     return inv, shift
 
 
 def _fold_conv_bn(kernel, bn_p, bn_s, dtype):
     """conv(no-bias) + eval-BN  ->  conv(kernel * inv) + shift."""
     inv, shift = _affine_from_bn(bn_p, bn_s)
-    k = np.asarray(kernel, np.float32) * inv[None, None, None]
-    return jnp.asarray(k, dtype), jnp.asarray(shift, jnp.float32)
+    k = jnp.asarray(kernel, jnp.float32) * inv[None, None, None]
+    return k.astype(dtype), shift
 
 
 def _pool_slice(x, pool):
@@ -153,9 +157,9 @@ def _conformer_block(x, p, s, nh, cd, ffn_barrier):
     a, b = h[:, :C], h[:, C:]
     h = (a.astype(jnp.float32) *
          jax.nn.sigmoid(b.astype(jnp.float32))).astype(cd).reshape(B, T, C)
-    dw = np.asarray(cp["dw_conv"]["kernel"], np.float32)  # (k, 1, C)
+    dw = jnp.asarray(cp["dw_conv"]["kernel"], jnp.float32)  # (k, 1, C)
     inv, shift = _affine_from_bn(cp["bn"], cs["bn"])
-    dw = jnp.asarray(dw * inv[None, None], cd)
+    dw = (dw * inv[None, None]).astype(cd)
     ksz = dw.shape[0]
     pad = (ksz - 1) // 2
     h = jax.lax.conv_general_dilated(
@@ -172,7 +176,7 @@ def _conformer_block(x, p, s, nh, cd, ffn_barrier):
 
 def crnn_fused_forward(model, variables, x: jnp.ndarray,
                        compute_dtype: Dtype = jnp.bfloat16,
-                       pool: str = "slice",
+                       pool: str = "avg",
                        ffn_barrier: bool = True) -> Dict[str, jnp.ndarray]:
     """Eval forward equal to ``model.apply(variables, x, train=False)``.
 

@@ -272,6 +272,12 @@ class SELDTask:
             elif (isinstance(self.model, einv2_heads.HTSAT)
                     and self.model.adapt.method in ("none", "mono_finetune")):
                 fused_fn = serving.einv2_htsat_fused_forward
+            elif (isinstance(self.model, heads.CRNN)
+                    and self.model.decoder in ("conformer", None, "None",
+                                               "null", "identity")):
+                # XLA-level rewrite (folded BNs, flattened conformer denses,
+                # interp+mean matmul) — no Pallas, so adapters-free only
+                fused_fn = serving.crnn_fused_forward
         use_fused = fused_fn is not None
 
         def eval_step(params, batch_stats, batch_x):
