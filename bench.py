@@ -71,15 +71,20 @@ def main():
     base = jax.random.normal(jax.random.PRNGKey(42), (B, 4, 240000),
                              jnp.float32) * 0.1
 
-    from pseldnets_tpu.serving import htsat_fused_forward
+    from pseldnets_tpu.serving import htsat_fused_forward_from_wav
 
     @jax.jit
     def step(variables, base, k):
         def body(i, acc):
-            wav = base * (1.0 + 1e-4 * (k * K + i)) + 1e-5 * (k * K + i)
-            # fused-kernel serving path (pallas Swin blocks): 2.4x the flax
-            # forward on-chip; parity pinned in tests/test_serving_fused.py
-            out = htsat_fused_forward(model, variables, extractor(wav))
+            # fused-kernel serving path (pallas Swin blocks, eval ScalarBN +
+            # frame pad + bf16 cast folded into the frontend kernel, harness
+            # scale riding the prep concatenate): 55.47 -> 54.14 ms/batch vs
+            # the unfused extractor->forward split, on-chip parity 0.0
+            # (scripts/perf_r4f_probe.py); CPU parity in
+            # tests/test_serving_fused.py
+            out = htsat_fused_forward_from_wav(
+                model, variables, base, wav_scale=1.0 + 1e-4 * (k * K + i),
+                split3=True)
             return acc + out["multi_accdoa"].astype(jnp.float32).mean()
         return jax.lax.fori_loop(0, K, body, jnp.float32(0))
 
@@ -94,7 +99,7 @@ def main():
 
     one_min_clips_per_sec = (B / dt) / 6.0
     print(json.dumps({
-        "metric": "1min_FOA_clips/sec/chip (pallas radix2-split3 pack+rsqrt lane-trim frontend + fused-block HTSAT mACCDOA fwd, bf16, B=128, fori K=64 batches/dispatch)",
+        "metric": "1min_FOA_clips/sec/chip (pallas radix2-split3 pack+rsqrt lane-trim glue-folded frontend + fused-block HTSAT mACCDOA fwd, bf16, B=128, fori K=64 batches/dispatch)",
         "value": round(one_min_clips_per_sec, 3),
         "unit": "clips/s",
         "vs_baseline": round(one_min_clips_per_sec / TARGET_CLIPS_PER_SEC, 4),

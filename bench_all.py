@@ -85,7 +85,7 @@ def bench_htsat_maccdoa():
     import jax.numpy as jnp
 
     from pseldnets_tpu.ops.pallas.frontend import fused_logmel_iv
-    from pseldnets_tpu.serving import htsat_fused_forward
+    from pseldnets_tpu.serving import htsat_fused_forward_from_wav
 
     cfg, model = _build(["loss=multi_accdoa"])
     B = 128
@@ -99,12 +99,12 @@ def bench_htsat_maccdoa():
     # variables ride as jit ARGS — closing over them would bake ~100 MB of
     # params into the trace as constants and force a host materialization
     dt = _k_time(
-        lambda k, w, v: htsat_fused_forward(
-            model, v,
-            extractor(w * (1.0 + 1e-4 * k)))["multi_accdoa"].astype(
-                jnp.float32).mean(), (base, variables))
-    _emit("htsat_maccdoa_infer (pallas frontend + fused-block Swin, bf16)",
-          dt, B, 10.0)
+        lambda k, w, v: htsat_fused_forward_from_wav(
+            model, v, w, wav_scale=1.0 + 1e-4 * k,
+            split3=True)["multi_accdoa"].astype(jnp.float32).mean(),
+        (base, variables))
+    _emit("htsat_maccdoa_infer (glue-folded pallas frontend + fused-block "
+          "Swin, bf16)", dt, B, 10.0)
 
 
 def _serving_feats_bench(tag, overrides, fused_name, out_key, B=32, K=32):

@@ -230,9 +230,9 @@ def _kernel_dif(rows_main, rows_bnd, dft_ref, mel_ref, out_ref, *, nfh, hh,
     out_ref[0, n_ch:n_ch + 3, :, :] = melp(_iv_normalize(iv, iv_norm))
 
 
-def _kernel_r2(rows_main, rows_bnd, dft_ref, mel_ref, out_ref, *, nfh, n_ch,
+def _kernel_r2(rows_main, rows_bnd, dft_ref, mel_ref, *rest, nfh, n_ch,
                t_blk, n_parts, precision, split3, mel_precision=None,
-               pack=False, iv_norm="exact"):
+               pack=False, iv_norm="exact", has_affine=False, n_frames=None):
     """Radix-2 DIT variant: two half-size sub-DFT chains + butterfly.
 
     With E = DFT_{n/2}(even·w_even) and O' = twiddled DFT_{n/2}(odd·w_odd),
@@ -247,7 +247,33 @@ def _kernel_r2(rows_main, rows_bnd, dft_ref, mel_ref, out_ref, *, nfh, n_ch,
     (main t_blk rows + boundary rows), exactly like the main kernel — the
     round-1 variant's host-side row gather cost more than the halved MACs
     saved (docs/PERF.md).
+
+    Output-side folds (serving path, docs/PERF.md round 3): ``has_affine``
+    applies a per-(channel, mel) affine to the outputs inside the kernel
+    (the model's eval ScalarBN — saves a full XLA pass over the features),
+    and ``n_frames`` zeroes frames beyond the real count so the padded
+    t_pad frames can feed the model directly (saves a slice + re-pad).
+    ``out_ref`` may be bf16 — the cast rides the store.
     """
+    if has_affine:
+        aff_ref, out_ref = rest
+    else:
+        (out_ref,) = rest
+        aff_ref = None
+
+    def store(ch0, n, val):
+        # val: (n, t_blk, n_mels) f32
+        if aff_ref is not None:
+            val = (val * aff_ref[0, ch0:ch0 + n][:, None, :]
+                   + aff_ref[1, ch0:ch0 + n][:, None, :])
+        if n_frames is not None:
+            from jax.experimental import pallas as pl
+            t0 = pl.program_id(1) * t_blk
+            fr = t0 + jax.lax.broadcasted_iota(
+                jnp.int32, (t_blk, val.shape[-1]), 0)
+            val = jnp.where((fr < n_frames)[None], val, 0.0)
+        out_ref[0, ch0:ch0 + n, :, :] = val.astype(out_ref.dtype)
+
     bnd = n_parts - 1
 
     def shifted(slab, j):
@@ -313,10 +339,9 @@ def _kernel_r2(rows_main, rows_bnd, dft_ref, mel_ref, out_ref, *, nfh, n_ch,
             return flat.reshape(lead + (mel_ref.shape[-1],))
 
         power = re2 * re2 + im2 * im2
-        out_ref[0, 0:n_ch, :, :] = 10.0 * jnp.log10(
-            jnp.maximum(melp(power), 1e-10))
+        store(0, n_ch, 10.0 * jnp.log10(jnp.maximum(melp(power), 1e-10)))
         iv = re2[1:4] * re2[0][None] + im2[1:4] * im2[0][None]
-        out_ref[0, n_ch:n_ch + 3, :, :] = melp(_iv_normalize(iv, iv_norm))
+        store(n_ch, 3, melp(_iv_normalize(iv, iv_norm)))
         return
 
     def halves(m):
@@ -357,27 +382,29 @@ def _kernel_r2(rows_main, rows_bnd, dft_ref, mel_ref, out_ref, *, nfh, n_ch,
 
     pow_lo = s_re * s_re + s_im * s_im
     pow_hi = d_re * d_re + d_im * d_im
-    out_ref[0, 0:n_ch, :, :] = 10.0 * jnp.log10(
-        jnp.maximum(mel2(pow_lo, pow_hi), 1e-10))
+    store(0, n_ch, 10.0 * jnp.log10(jnp.maximum(mel2(pow_lo, pow_hi), 1e-10)))
 
     iv_lo = s_re[1:4] * s_re[0][None] + s_im[1:4] * s_im[0][None]
     iv_hi = d_re[1:4] * d_re[0][None] + d_im[1:4] * d_im[0][None]
-    out_ref[0, n_ch:n_ch + 3, :, :] = mel2(_iv_normalize(iv_lo, iv_norm),
-                                           _iv_normalize(iv_hi, iv_norm))
+    store(n_ch, 3, mel2(_iv_normalize(iv_lo, iv_norm),
+                        _iv_normalize(iv_hi, iv_norm)))
 
 
 @partial(jax.jit, static_argnames=("n_fft", "hop", "window", "n_mels",
                                    "sample_rate", "t_blk", "interpret",
                                    "precision", "split3", "radix2",
                                    "mel_precision", "pack", "iv_norm",
-                                   "prep", "variant", "trim"))
+                                   "prep", "variant", "trim", "out_dtype",
+                                   "full_frames"))
 def fused_logmel_iv(x: jnp.ndarray, *, n_fft: int = 1024, hop: int = 240,
                     window: str = "hann", n_mels: int = 64,
                     sample_rate: int = 24000, t_blk: int = 256,
                     interpret: bool = False, split3: bool = False,
                     radix2=None, mel_precision=None, pack: bool = True,
                     iv_norm: str = "rsqrt", prep: str = "transpose",
-                    variant: str = "dit", trim=None,
+                    variant: str = "dit", trim=None, pre_scale=None,
+                    post_affine=None, out_dtype=jnp.float32,
+                    full_frames: bool = False,
                     precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
     """(B, 4, samples) float32 -> (B, 7, n_frames, n_mels); numerical parity
     with ops.features.LogmelIVExtractor (and the reference torchaudio chain).
@@ -391,12 +418,32 @@ def fused_logmel_iv(x: jnp.ndarray, *, n_fft: int = 1024, hop: int = 240,
     pack=True + iv_norm='rsqrt' are the measured round-3 production
     defaults: 25.44 vs 26.41 ms @B=128 (scripts/perf_r3b_probe.py), added
     deviation 3.6e-5 dB logmel / 1.9e-7 IV — far inside the budget.
+
+    Serving-path folds (all optional, radix-2 DIT path only):
+    - ``pre_scale``: scalar multiplied into the signal; XLA fuses it into
+      the row-slab concatenate, so scaling the waveform becomes free
+      (bench harnesses use it for their per-iteration input variation).
+    - ``post_affine=(inv, shift)``: per-(channel, mel) affine applied to
+      the outputs IN-KERNEL — the model's eval ScalarBN, folded so the
+      separate XLA pass over the (B, 7, T, mel) features disappears.
+    - ``out_dtype``: output dtype (bf16 halves the kernel's HBM writes).
+    - ``full_frames``: return all t_pad frames with frames >= n_frames
+      zeroed in-kernel — exactly the zero-pad the HTSAT reshape_wav2img
+      would add, saving a slice + re-pad over the features.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     B, C, N = x.shape
     assert C == 4, "FOA input required"
+    dit_path = ((radix2 is None or radix2) and n_fft % 2 == 0
+                and hop % 2 == 0 and not (variant == "dif"
+                                          and window in _WIN_3TAP))
+    if pre_scale is not None and not dit_path:
+        # non-DIT variants: plain up-front scaling (the DIT path fuses the
+        # scale into its prep concatenate operands instead)
+        x = x * jnp.asarray(pre_scale, x.dtype)
+        pre_scale = None
     if hop >= n_fft:
         raise NotImplementedError(
             f"fused_logmel_iv requires hop < n_fft (got hop={hop}, "
@@ -409,8 +456,13 @@ def fused_logmel_iv(x: jnp.ndarray, *, n_fft: int = 1024, hop: int = 240,
 
     if radix2 is None:
         radix2 = True
+    has_post = (post_affine is not None or full_frames
+                or out_dtype != jnp.float32)
     if radix2 and n_fft % 2 == 0 and hop % 2 == 0:
         if variant == "dif" and window in _WIN_3TAP:
+            if has_post:
+                raise NotImplementedError(
+                    "post_affine/out_dtype/full_frames: radix-2 DIT only")
             return _call_dif(x, pl=pl, pltpu=pltpu, n_fft=n_fft, hop=hop,
                              window=window, n_mels=n_mels,
                              sample_rate=sample_rate, t_blk=t_blk,
@@ -425,7 +477,12 @@ def fused_logmel_iv(x: jnp.ndarray, *, n_fft: int = 1024, hop: int = 240,
                             precision=precision, mel_precision=mel_precision,
                             pack=pack, iv_norm=iv_norm, prep=prep, trim=trim,
                             n_frames=n_frames, t_pad=t_pad,
-                            n_blocks=n_blocks)
+                            n_blocks=n_blocks, post_affine=post_affine,
+                            out_dtype=out_dtype, full_frames=full_frames,
+                            pre_scale=pre_scale)
+    if has_post:
+        raise NotImplementedError(
+            "post_affine/out_dtype/full_frames: radix-2 DIT only")
 
     n_parts = n_fft // hop + (1 if n_fft % hop else 0)
     bnd = n_parts - 1
@@ -498,7 +555,8 @@ def fused_logmel_iv(x: jnp.ndarray, *, n_fft: int = 1024, hop: int = 240,
 def _call_radix2(x, *, pl, pltpu, n_fft, hop, window, n_mels, sample_rate,
                  t_blk, interpret, split3, precision, n_frames, t_pad,
                  n_blocks, mel_precision=None, pack=False, iv_norm="exact",
-                 prep="transpose", trim=None):
+                 prep="transpose", trim=None, post_affine=None,
+                 out_dtype=jnp.float32, full_frames=False, pre_scale=None):
     """Host prep + pallas_call for the radix-2 DIT kernel.
 
     Frame f covers padded[f*hop + n], n = 0..n_fft-1 (center=True reflect pad
@@ -521,11 +579,16 @@ def _call_radix2(x, *, pl, pltpu, n_fft, hop, window, n_mels, sample_rate,
     rows_total = n_blocks * t_blk + bnd_blk
     need = rows_total * hh  # per stream
     half = n_fft // 2
-    pieces = [x[..., 1:half + 1][..., ::-1], x]
+    # pre_scale rides each concatenate OPERAND (a scalar multiply fused into
+    # the concat's input computations) — scaling x up front costs a separate
+    # full-signal XLA pass (1.5 ms/batch at B=128, r4f/r4g profiles)
+    sc = ((lambda a: a * jnp.asarray(pre_scale, a.dtype))
+          if pre_scale is not None else (lambda a: a))
+    pieces = [sc(x[..., 1:half + 1][..., ::-1]), sc(x)]
     tail = 2 * need - (N + half)
     if tail > 0:
         right = jnp.concatenate(
-            [x[..., -(half + 1):-1][..., ::-1],
+            [sc(x[..., -(half + 1):-1][..., ::-1]),
              jnp.zeros((B, C, max(0, tail - half)), x.dtype)], axis=-1)
         pieces.append(right[..., :tail])
     sig = jnp.concatenate(pieces, axis=-1)[..., :2 * need]
@@ -623,26 +686,40 @@ def _call_radix2(x, *, pl, pltpu, n_fft, hop, window, n_mels, sample_rate,
                 if pack else
                 pl.BlockSpec((2, mel2.shape[1], n_mels), lambda b, t: (0, 0, 0),
                              memory_space=pltpu.VMEM))
+    in_specs = [
+        pl.BlockSpec((1, 2, C, t_blk, hh), lambda b, t: (b, 0, 0, t, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 2, C, bnd_blk, hh),
+                     lambda b, t: (b, 0, 0, (t + 1) * (t_blk // bnd_blk), 0),
+                     memory_space=pltpu.VMEM),
+        dft_spec,
+        mel_spec,
+    ]
+    inputs = [rows, rows, jnp.asarray(parts), jnp.asarray(mel2)]
+    if post_affine is not None:
+        inv, shift = post_affine
+        aff = jnp.stack([jnp.asarray(inv, jnp.float32),
+                         jnp.asarray(shift, jnp.float32)])  # (2, 7, n_mels)
+        in_specs.append(pl.BlockSpec((2, 7, n_mels), lambda b, t: (0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(aff)
+    zero_tail = full_frames and n_frames < t_pad
     out = pl.pallas_call(
         partial(_kernel_r2, nfh=nfh, n_ch=C, t_blk=t_blk, n_parts=n_parts,
                 precision=precision, split3=split3,
-                mel_precision=mel_precision, pack=pack, iv_norm=iv_norm),
+                mel_precision=mel_precision, pack=pack, iv_norm=iv_norm,
+                has_affine=post_affine is not None,
+                n_frames=n_frames if zero_tail else None),
         grid=(B, n_blocks),
-        in_specs=[
-            pl.BlockSpec((1, 2, C, t_blk, hh), lambda b, t: (b, 0, 0, t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, C, bnd_blk, hh),
-                         lambda b, t: (b, 0, 0, (t + 1) * (t_blk // bnd_blk), 0),
-                         memory_space=pltpu.VMEM),
-            dft_spec,
-            mel_spec,
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 7, t_blk, n_mels), lambda b, t: (b, 0, t, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, 7, t_pad, n_mels), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, 7, t_pad, n_mels), out_dtype),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(rows, rows, jnp.asarray(parts), jnp.asarray(mel2))
+    )(*inputs)
+    if full_frames:
+        return out
     return out[:, :, :n_frames, :]
 
 

@@ -3,4 +3,5 @@
 from .crnn import crnn_fused_forward  # noqa: F401
 from .einv2 import einv2_htsat_fused_forward  # noqa: F401
 from .htsat import htsat_fused_forward  # noqa: F401
+from .htsat import htsat_fused_forward_from_wav  # noqa: F401
 from .passt import passt_fused_forward  # noqa: F401

@@ -56,8 +56,15 @@ def _dense_p(d: Dict) -> Dict:
 def htsat_fused_forward(model: "heads.HTSAT", variables, x: jnp.ndarray,
                         compute_dtype: Dtype = jnp.bfloat16,
                         attn_impl: str = "exact",
-                        interpret: bool = False) -> Dict[str, jnp.ndarray]:
-    """Eval-mode forward equal to ``model.apply(variables, x, train=False)``."""
+                        interpret: bool = False,
+                        pre_normalized: bool = False) -> Dict[str, jnp.ndarray]:
+    """Eval-mode forward equal to ``model.apply(variables, x, train=False)``.
+
+    ``pre_normalized``: ``x`` already carries the eval ScalarBN (folded into
+    the frontend kernel via ``fused_logmel_iv(post_affine=...)``) and may be
+    zero-padded to the full reshape_wav2img frame count — used by
+    :func:`htsat_fused_forward_from_wav`. 10 s clips only.
+    """
     p = variables["params"]
     stats = variables["batch_stats"]
     kw = dict(model.encoder_kwargs)
@@ -73,12 +80,18 @@ def htsat_fused_forward(model: "heads.HTSAT", variables, x: jnp.ndarray,
     SF = spec_size // (2 ** (num_layers - 1)) // patch_stride[0] // freq_ratio
 
     B, C, T, F = x.shape
-    output_frames = T // model.pred_res
-    five_sec = output_frames < model.tgt_output_frames
-    if five_sec:
-        x = jnp.concatenate([x[: B // 2, :, :-1], x[B // 2:, :, :-1]], axis=2)
-
-    x = _scalar_bn(x, p["scalar"], stats["scalar"]).astype(compute_dtype)
+    if pre_normalized:
+        # T may be the padded frame count; frames are real up to tgt frames
+        output_frames = min(T // model.pred_res, model.tgt_output_frames)
+        five_sec = False
+        x = x.astype(compute_dtype)
+    else:
+        output_frames = T // model.pred_res
+        five_sec = output_frames < model.tgt_output_frames
+        if five_sec:
+            x = jnp.concatenate([x[: B // 2, :, :-1], x[B // 2:, :, :-1]],
+                                axis=2)
+        x = _scalar_bn(x, p["scalar"], stats["scalar"]).astype(compute_dtype)
     x = _reshape_wav2img(x, spec_size, freq_ratio)
 
     # patch embed: conv 4x4/4 + LN (models.common.PatchEmbed)
@@ -158,3 +171,43 @@ def htsat_fused_forward(model: "heads.HTSAT", variables, x: jnp.ndarray,
     key = "accdoa" if model.num_tracks == 1 else "multi_accdoa"
     del SF
     return {key: jnp.tanh(x.astype(jnp.float32))}
+
+
+def htsat_fused_forward_from_wav(model: "heads.HTSAT", variables,
+                                 wav: jnp.ndarray,
+                                 compute_dtype: Dtype = jnp.bfloat16,
+                                 wav_scale=None,
+                                 attn_impl: str = "exact",
+                                 interpret: bool = False,
+                                 **frontend_kwargs) -> Dict[str, jnp.ndarray]:
+    """Full serving step from the FOA waveform: frontend + model, with the
+    eval ScalarBN, the bf16 cast and the reshape_wav2img frame pad all folded
+    INTO the frontend kernel (fused_logmel_iv post_affine/out_dtype/
+    full_frames — saves ~1.7 ms/batch of XLA feature passes at B=128,
+    docs/PERF.md round 3). ``wav_scale`` rides the prep concatenate for free
+    (bench input variation). 10-second clips only (the 5 s concat trick needs
+    raw features); equal to extractor -> model.apply(train=False) up to bf16
+    noise — pinned in tests/test_serving_fused.py.
+    """
+    from ..ops.pallas.frontend import fused_logmel_iv
+
+    p = variables["params"]
+    stats = variables["batch_stats"]
+    bn_p, bn_s = p["scalar"]["bn"], stats["scalar"]["bn"]
+    inv = (jnp.asarray(bn_p["weight"], jnp.float32)
+           * jax.lax.rsqrt(jnp.asarray(bn_s["running_var"], jnp.float32)
+                           + 1e-5))
+    shift = (jnp.asarray(bn_p["bias"], jnp.float32)
+             - jnp.asarray(bn_s["running_mean"], jnp.float32) * inv)
+    frontend_kwargs.setdefault("split3", True)
+    feats = fused_logmel_iv(wav, pre_scale=wav_scale,
+                            post_affine=(inv, shift),
+                            out_dtype=compute_dtype, full_frames=True,
+                            interpret=interpret, **frontend_kwargs)
+    n_frames = 1 + wav.shape[-1] // frontend_kwargs.get("hop", 240)
+    assert (n_frames - 1) // model.pred_res == model.tgt_output_frames, \
+        "htsat_fused_forward_from_wav supports 10-second clips only"
+    return htsat_fused_forward(model, variables, feats,
+                               compute_dtype=compute_dtype,
+                               attn_impl=attn_impl, interpret=interpret,
+                               pre_normalized=True)

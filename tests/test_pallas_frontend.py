@@ -126,3 +126,42 @@ def test_fused_frontend_dif_variant(rng):
     b = np.asarray(fused_logmel_iv(jnp.asarray(x), t_blk=32, interpret=True,
                                    radix2=False, n_fft=512, hop=100))
     np.testing.assert_allclose(a, b, atol=5e-4)
+
+
+def test_fused_frontend_serving_folds(rng):
+    """Serving-path folds: pre_scale equals scaling the waveform, the
+    in-kernel post_affine equals the XLA affine over the features,
+    full_frames returns the padded frame count with a zeroed tail, and the
+    bf16 out_dtype is the plain cast of the f32 output."""
+    x = rng.standard_normal((2, 4, 24000)).astype(np.float32) * 0.2
+    base = np.asarray(fused_logmel_iv(jnp.asarray(x), t_blk=32,
+                                      interpret=True, split3=True))
+
+    # pre_scale == scaling the signal (exact: same concatenate, same kernel)
+    a = np.asarray(fused_logmel_iv(jnp.asarray(x * 1.3), t_blk=32,
+                                   interpret=True, split3=True))
+    b = np.asarray(fused_logmel_iv(jnp.asarray(x), t_blk=32, interpret=True,
+                                   split3=True,
+                                   pre_scale=jnp.float32(1.3)))
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+
+    # post_affine + full_frames: affine applied per (channel, mel), frames
+    # beyond n_frames (=101 here) zeroed, t_pad (=128) frames returned
+    inv = rng.standard_normal((7, 64)).astype(np.float32)
+    shift = rng.standard_normal((7, 64)).astype(np.float32)
+    got = np.asarray(fused_logmel_iv(
+        jnp.asarray(x), t_blk=32, interpret=True, split3=True,
+        post_affine=(jnp.asarray(inv), jnp.asarray(shift)),
+        full_frames=True))
+    assert got.shape == (2, 7, 128, 64)
+    ref = base * inv[None, :, None, :] + shift[None, :, None, :]
+    np.testing.assert_allclose(got[:, :, :101], ref, rtol=1e-5, atol=1e-5)
+    assert np.abs(got[:, :, 101:]).max() == 0.0
+
+    # bf16 out_dtype: cast of the f32 result
+    g16 = np.asarray(fused_logmel_iv(jnp.asarray(x), t_blk=32,
+                                     interpret=True, split3=True,
+                                     out_dtype=jnp.bfloat16),
+                     np.float32)
+    np.testing.assert_allclose(
+        g16, base.astype(jnp.bfloat16).astype(np.float32), atol=1e-6)

@@ -260,3 +260,43 @@ def test_crnn_fused_forward_parity(rng):
         assert got.shape == ref.shape
         dev = np.abs(got - ref).max()
         assert dev < 5e-5, dev
+
+
+def test_htsat_fused_forward_from_wav_parity(rng):
+    """htsat_fused_forward_from_wav (ScalarBN + frame-pad folded into the
+    frontend kernel) == pallas extractor -> flax model.apply eval, f32;
+    wav_scale must equal scaling the waveform."""
+    import flax
+
+    from pseldnets_tpu.ops.pallas.frontend import fused_logmel_iv
+    from pseldnets_tpu.serving import htsat_fused_forward_from_wav
+
+    model = _tiny_model()
+    wav = jnp.asarray(rng.standard_normal((2, 4, 57600)).astype(np.float32)
+                      * 0.1)
+    fe = dict(n_mels=16, t_blk=32)
+    feats = fused_logmel_iv(wav, split3=True, interpret=True, **fe)
+    variables = flax.core.unfreeze(
+        model.init({"params": jax.random.PRNGKey(0)}, feats, train=False))
+    # non-trivial running stats so the folded affine is exercised
+    bn = variables["batch_stats"]["scalar"]["bn"]
+    bn["running_mean"] = jnp.asarray(
+        rng.standard_normal(bn["running_mean"].shape).astype(np.float32) * 0.5)
+    bn["running_var"] = jnp.asarray(
+        (rng.random(bn["running_var"].shape) + 0.5).astype(np.float32))
+
+    ref = np.asarray(model.apply(variables, feats,
+                                 train=False)["multi_accdoa"])
+    got = np.asarray(htsat_fused_forward_from_wav(
+        model, variables, wav, compute_dtype=jnp.float32, interpret=True,
+        **fe)["multi_accdoa"])
+    assert got.shape == ref.shape
+    assert np.abs(got - ref).max() < 5e-5, np.abs(got - ref).max()
+
+    a = np.asarray(htsat_fused_forward_from_wav(
+        model, variables, wav * 1.25, compute_dtype=jnp.float32,
+        interpret=True, **fe)["multi_accdoa"])
+    b = np.asarray(htsat_fused_forward_from_wav(
+        model, variables, wav, wav_scale=jnp.float32(1.25),
+        compute_dtype=jnp.float32, interpret=True, **fe)["multi_accdoa"])
+    np.testing.assert_allclose(a, b, atol=2e-6)
