@@ -29,6 +29,11 @@ from .frontend import EPS_F32  # noqa: F401  (shared eps convention)
 
 Dtype = Any
 
+# auto-group payload target: images per grid cell are chosen so each cell
+# carries ~this many token-channels (~1.5 MB bf16). Grid-cell dispatch has a
+# fixed ~30 us overhead on v5e; sweepable module knob (scripts/perf_r4i).
+PAYLOAD_TOKEN_CHANNELS = 8192 * 96
+
 
 def _erf(x: jnp.ndarray, fast: bool = False) -> jnp.ndarray:
     """Abramowitz-Stegun 7.1.26 rational erf (|err| < 1.5e-7); Mosaic has no
@@ -118,13 +123,8 @@ def _block_kernel(x_ref, dp_ref, ln1s, ln1b, qkvw, qkvb, projw, projb,
     N = w * w
     nW = (H // w) * (W // w)
     hd = C // nh
-    scale = hd ** -0.5
-    if attn_impl == "exp2":
-        # fold log2(e) into the q-scale so softmax's exp becomes the VPU's
-        # native exp2 (bias/mask tables are pre-scaled by the caller); the
-        # normalizing divide moves AFTER the PV matmul, touching (N, hd=24)
-        # rows instead of the (N, N=64) score matrix
-        scale = scale * math.log2(math.e)
+    # the q-scale (and exp2's log2(e)) is folded into the qkv weight/bias by
+    # the caller — no in-kernel q multiply
     cd = compute_dtype
     G, L = x_ref.shape[0], H * W  # G images per grid cell
 
@@ -147,30 +147,57 @@ def _block_kernel(x_ref, dp_ref, ln1s, ln1b, qkvw, qkvb, projw, projb,
                   preferred_element_type=jnp.float32) + qkvb[0]
     qkv = qkv.astype(cd)
 
-    heads = []
-    for hh in range(nh):
-        q = qkv[:, hh * hd:(hh + 1) * hd].reshape(G * nW, N, hd)
-        k = qkv[:, C + hh * hd: C + (hh + 1) * hd].reshape(G * nW, N, hd)
-        v = qkv[:, 2 * C + hh * hd: 2 * C + (hh + 1) * hd].reshape(G * nW, N, hd)
-        s = jax.lax.dot_general(q * jnp.asarray(scale, cd), k,
-                                (((2,), (2,)), ((0,), (0,))),
+    if attn_impl == "batched":
+        # heads ride the dot_general BATCH dim: one relayout per q/k/v and
+        # two flat batched dots, instead of nh unaligned lane-slice chains
+        # (q at lane offsets hd*h with hd=24 — every slice is a relayout;
+        # nh reaches 32 at stage 3)
+        def hsplit(cols):  # (G*nW*N, C) -> (G*nW*nh, N, hd)
+            t = cols.reshape(G * nW, N, nh, hd)
+            return jnp.transpose(t, (0, 2, 1, 3)).reshape(G * nW * nh, N, hd)
+
+        q = hsplit(qkv[:, :C])
+        k = hsplit(qkv[:, C:2 * C])
+        v = hsplit(qkv[:, 2 * C:])
+        s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
                                 preferred_element_type=jnp.float32)
-        s = s + bias_ref[hh][None]
+        s = s.reshape(G * nW, nh, N, N) + bias_ref[:][None]
         if has_mask:
-            s = (s.reshape(G, nW, N, N) + mask_ref[:][None]).reshape(G * nW, N, N)
-        if attn_impl == "exp2":
-            m = jnp.max(s, axis=-1, keepdims=True)
-            e = jnp.exp2(s - m)
-            denom = jnp.sum(e, axis=-1, keepdims=True)  # f32, pre-cast
-            o = jax.lax.dot_general(e.astype(cd), v, (((2,), (1,)), ((0,), (0,))),
+            s = (s.reshape(G, nW, nh, N, N)
+                 + mask_ref[:][None, :, None]).reshape(G * nW, nh, N, N)
+        p = _softmax(s.reshape(G * nW * nh, N, N), fast).astype(cd)
+        o = jax.lax.dot_general(p, v, (((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        o = o.reshape(G * nW, nh, N, hd)
+        attn = jnp.transpose(o, (0, 2, 1, 3)).reshape(G * nW * N, C)
+        attn = attn.astype(cd)
+    else:
+        heads = []
+        for hh in range(nh):
+            q = qkv[:, hh * hd:(hh + 1) * hd].reshape(G * nW, N, hd)
+            k = qkv[:, C + hh * hd: C + (hh + 1) * hd].reshape(G * nW, N, hd)
+            v = qkv[:, 2 * C + hh * hd: 2 * C + (hh + 1) * hd].reshape(
+                G * nW, N, hd)
+            s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
                                     preferred_element_type=jnp.float32)
-            o = o / denom
-        else:
-            p = _softmax(s, fast).astype(cd)  # (G*nW, N, N)
-            o = jax.lax.dot_general(p, v, (((2,), (1,)), ((0,), (0,))),
-                                    preferred_element_type=jnp.float32)
-        heads.append(o.reshape(G * nW * N, hd))
-    attn = jnp.concatenate(heads, axis=-1).astype(cd)  # (G*nW*N, C)
+            s = s + bias_ref[hh][None]
+            if has_mask:
+                s = (s.reshape(G, nW, N, N)
+                     + mask_ref[:][None]).reshape(G * nW, N, N)
+            if attn_impl == "exp2":
+                m = jnp.max(s, axis=-1, keepdims=True)
+                e = jnp.exp2(s - m)
+                denom = jnp.sum(e, axis=-1, keepdims=True)  # f32, pre-cast
+                o = jax.lax.dot_general(e.astype(cd), v,
+                                        (((2,), (1,)), ((0,), (0,))),
+                                        preferred_element_type=jnp.float32)
+                o = o / denom
+            else:
+                p = _softmax(s, fast).astype(cd)  # (G*nW, N, N)
+                o = jax.lax.dot_general(p, v, (((2,), (1,)), ((0,), (0,))),
+                                        preferred_element_type=jnp.float32)
+            heads.append(o.reshape(G * nW * N, hd))
+        attn = jnp.concatenate(heads, axis=-1).astype(cd)  # (G*nW*N, C)
 
     attn = (jnp.dot(attn, projw[:].astype(cd),
                     preferred_element_type=jnp.float32) + projb[0]).astype(cd)
@@ -255,7 +282,7 @@ def swin_block_fused(x: jnp.ndarray, p: Dict, *, H: int, W: int, nh: int,
     N = w * w
     nW = (H // w) * (W // w)
 
-    G = group or max(1, (8192 * 96) // (L * C))
+    G = group or max(1, PAYLOAD_TOKEN_CHANNELS // (L * C))
     while B % G:
         G -= 1
 
@@ -267,6 +294,17 @@ def swin_block_fused(x: jnp.ndarray, p: Dict, *, H: int, W: int, nh: int,
     fc1_p = dense(p["mlp"]["fc1"])
     fc2_p = dense(p["mlp"]["fc2"])
     hidden = fc1_p["kernel"].shape[1]
+
+    # fold the attention q-scale (and exp2's log2(e)) into the q columns of
+    # the qkv weight AND bias — exact at the f32 param level, and the kernel
+    # drops its per-head (N, hd) multiply
+    scale = (C // nh) ** -0.5
+    if attn_impl == "exp2":
+        scale = scale * math.log2(math.e)
+    qs = jnp.concatenate([jnp.full((C,), scale, jnp.float32),
+                          jnp.ones((2 * C,), jnp.float32)])
+    qkv_w = jnp.asarray(qkv_p["kernel"], jnp.float32) * qs[None, :]
+    qkv_b = jnp.asarray(qkv_p["bias"], jnp.float32) * qs
 
     bias = _rel_bias(p["attn"]["relative_position_bias_table"], w, nh)
     if shift > 0:
@@ -294,7 +332,7 @@ def swin_block_fused(x: jnp.ndarray, p: Dict, *, H: int, W: int, nh: int,
     args = [
         x, dp_masks,
         v1(p["norm1"]["scale"]), v1(p["norm1"]["bias"]),
-        jnp.asarray(qkv_p["kernel"], jnp.float32), v1(qkv_p["bias"]),
+        qkv_w, qkv_b.reshape(1, -1),
         jnp.asarray(proj_p["kernel"], jnp.float32), v1(proj_p["bias"]),
         v1(p["norm2"]["scale"]), v1(p["norm2"]["bias"]),
         jnp.asarray(fc1_p["kernel"], jnp.float32), v1(fc1_p["bias"]),
@@ -440,7 +478,7 @@ def swin_stage_fused(x: jnp.ndarray, blocks, *, H: int, W: int, nh: int,
     shifts = tuple(shifts)
     assert len(shifts) == depth
 
-    G = group or max(1, (8192 * 96) // (L * C))
+    G = group or max(1, PAYLOAD_TOKEN_CHANNELS // (L * C))
     while B % G:
         G -= 1
 
@@ -632,7 +670,7 @@ def swin_stage_fused_v2(x: jnp.ndarray, blocks, *, H: int, W: int, nh: int,
     assert all(s == (0 if j % 2 == 0 else base_shift)
                for j, s in enumerate(shifts)), shifts
 
-    G = group or max(1, (8192 * 96) // (L * C))
+    G = group or max(1, PAYLOAD_TOKEN_CHANNELS // (L * C))
     while B % G:
         G -= 1
 
