@@ -177,11 +177,14 @@ def _conformer_block(x, p, s, nh, cd, ffn_barrier):
 def crnn_fused_forward(model, variables, x: jnp.ndarray,
                        compute_dtype: Dtype = jnp.bfloat16,
                        pool: str = "avg",
-                       ffn_barrier: bool = True) -> Dict[str, jnp.ndarray]:
+                       ffn_barrier: bool = True,
+                       pre_normalized: bool = False) -> Dict[str, jnp.ndarray]:
     """Eval forward equal to ``model.apply(variables, x, train=False)``.
 
     ``model`` is heads.CRNN (accdoa or multi_accdoa flavour) with
     decoder in {"conformer", None}; ``x`` is (B, C, T, F) float32 features.
+    ``pre_normalized``: ``x`` already carries the eval ScalarBN (folded into
+    the frontend kernel — see :func:`crnn_fused_forward_from_wav`).
     """
     assert model.decoder in ("conformer", None, "None", "null", "identity"), \
         f"crnn_fused_forward supports conformer/null decoders, got " \
@@ -192,9 +195,10 @@ def crnn_fused_forward(model, variables, x: jnp.ndarray,
     B, C_in, T, F = x.shape
     output_frames = T // model.pred_res
 
-    # ScalarBN (eval affine over (channel, mel))
-    inv, shift = _affine_from_bn(p["scalar"]["bn"], st["scalar"]["bn"])
-    x = x * inv[None, :, None, :] + shift[None, :, None, :]
+    if not pre_normalized:
+        # ScalarBN (eval affine over (channel, mel))
+        inv, shift = _affine_from_bn(p["scalar"]["bn"], st["scalar"]["bn"])
+        x = x * inv[None, :, None, :] + shift[None, :, None, :]
 
     # NHWC trunk with folded BNs
     x = jnp.transpose(x, (0, 2, 3, 1)).astype(cd)
@@ -232,3 +236,23 @@ def crnn_fused_forward(model, variables, x: jnp.ndarray,
     out = jnp.tanh(out.astype(jnp.float32)).astype(x.dtype)
     out = out.reshape(B, output_frames, -1)
     return {model.output_key: out}
+
+
+def crnn_fused_forward_from_wav(model, variables, wav: jnp.ndarray,
+                                compute_dtype: Dtype = jnp.bfloat16,
+                                wav_scale=None, pool: str = "avg",
+                                ffn_barrier: bool = True,
+                                interpret: bool = False,
+                                **frontend_kwargs) -> Dict[str, jnp.ndarray]:
+    """FOA waveform -> CRNN logits with the eval ScalarBN + compute-dtype
+    cast folded into the frontend kernel (serving.folded_wav_features);
+    ``wav_scale`` rides the prep concatenate. Equal to extractor ->
+    model.apply(train=False) up to compute-dtype noise."""
+    from .htsat import folded_wav_features
+
+    feats = folded_wav_features(variables, wav, compute_dtype=compute_dtype,
+                                wav_scale=wav_scale, interpret=interpret,
+                                **frontend_kwargs)
+    return crnn_fused_forward(model, variables, feats,
+                              compute_dtype=compute_dtype, pool=pool,
+                              ffn_barrier=ffn_barrier, pre_normalized=True)

@@ -173,6 +173,40 @@ def htsat_fused_forward(model: "heads.HTSAT", variables, x: jnp.ndarray,
     return {key: jnp.tanh(x.astype(jnp.float32))}
 
 
+def scalar_bn_affine(variables):
+    """Eval ScalarBN as a per-(channel, mel) affine: y = x * inv + shift.
+
+    All SELD heads share the ``scalar`` BN-over-channel module (reference
+    accdoa.py:28/multi_accdoa.py/einv2.py); exactly the fold the reference's
+    eval BatchNorm2d computes."""
+    bn_p = variables["params"]["scalar"]["bn"]
+    bn_s = variables["batch_stats"]["scalar"]["bn"]
+    inv = (jnp.asarray(bn_p["weight"], jnp.float32)
+           * jax.lax.rsqrt(jnp.asarray(bn_s["running_var"], jnp.float32)
+                           + 1e-5))
+    shift = (jnp.asarray(bn_p["bias"], jnp.float32)
+             - jnp.asarray(bn_s["running_mean"], jnp.float32) * inv)
+    return inv, shift
+
+
+def folded_wav_features(variables, wav: jnp.ndarray, *,
+                        compute_dtype: Dtype = jnp.bfloat16, wav_scale=None,
+                        full_frames: bool = False, interpret: bool = False,
+                        **frontend_kwargs) -> jnp.ndarray:
+    """FOA waveform -> eval-normalized (B, 7, T, mel) features in ONE kernel:
+    fused_logmel_iv with the eval ScalarBN (post_affine), the compute-dtype
+    cast and optionally the reshape_wav2img zero-tail pad folded in; a
+    scalar ``wav_scale`` rides the prep concatenate for free."""
+    frontend_kwargs.setdefault("split3", True)
+    inv, shift = scalar_bn_affine(variables)
+    from ..ops.pallas.frontend import fused_logmel_iv
+
+    return fused_logmel_iv(wav, pre_scale=wav_scale,
+                           post_affine=(inv, shift),
+                           out_dtype=compute_dtype, full_frames=full_frames,
+                           interpret=interpret, **frontend_kwargs)
+
+
 def htsat_fused_forward_from_wav(model: "heads.HTSAT", variables,
                                  wav: jnp.ndarray,
                                  compute_dtype: Dtype = jnp.bfloat16,
@@ -189,21 +223,9 @@ def htsat_fused_forward_from_wav(model: "heads.HTSAT", variables,
     raw features); equal to extractor -> model.apply(train=False) up to bf16
     noise — pinned in tests/test_serving_fused.py.
     """
-    from ..ops.pallas.frontend import fused_logmel_iv
-
-    p = variables["params"]
-    stats = variables["batch_stats"]
-    bn_p, bn_s = p["scalar"]["bn"], stats["scalar"]["bn"]
-    inv = (jnp.asarray(bn_p["weight"], jnp.float32)
-           * jax.lax.rsqrt(jnp.asarray(bn_s["running_var"], jnp.float32)
-                           + 1e-5))
-    shift = (jnp.asarray(bn_p["bias"], jnp.float32)
-             - jnp.asarray(bn_s["running_mean"], jnp.float32) * inv)
-    frontend_kwargs.setdefault("split3", True)
-    feats = fused_logmel_iv(wav, pre_scale=wav_scale,
-                            post_affine=(inv, shift),
-                            out_dtype=compute_dtype, full_frames=True,
-                            interpret=interpret, **frontend_kwargs)
+    feats = folded_wav_features(variables, wav, compute_dtype=compute_dtype,
+                                wav_scale=wav_scale, full_frames=True,
+                                interpret=interpret, **frontend_kwargs)
     n_frames = 1 + wav.shape[-1] // frontend_kwargs.get("hop", 240)
     assert (n_frames - 1) // model.pred_res == model.tgt_output_frames, \
         "htsat_fused_forward_from_wav supports 10-second clips only"

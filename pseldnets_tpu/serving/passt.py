@@ -20,14 +20,19 @@ Dtype = Any
 
 def passt_fused_forward(model, variables, x: jnp.ndarray,
                         compute_dtype: Dtype = jnp.bfloat16,
-                        interpret: bool = False) -> Dict[str, jnp.ndarray]:
-    """Eval-mode forward equal to ``model.apply(variables, x, train=False)``."""
+                        interpret: bool = False,
+                        pre_normalized: bool = False) -> Dict[str, jnp.ndarray]:
+    """Eval-mode forward equal to ``model.apply(variables, x, train=False)``.
+
+    ``pre_normalized``: ``x`` already carries the eval ScalarBN (folded into
+    the frontend kernel — see :func:`passt_fused_forward_from_wav`)."""
     kw = dict(model.encoder_kwargs)
     depth = kw.get("depth", 7)
     nh = kw.get("num_heads", 12)
 
     def method(mdl, x):
-        x = mdl.scalar(x, use_running_average=True)
+        if not pre_normalized:
+            x = mdl.scalar(x, use_running_average=True)
         h = mdl.encoder.forward_before(x, train=False)
         pb = mdl.encoder.variables["params"]
         for i in range(depth):
@@ -38,3 +43,21 @@ def passt_fused_forward(model, variables, x: jnp.ndarray,
         return {mdl.output_key: jnp.tanh(mdl.fc(fm))}
 
     return model.apply(variables, x, method=method)
+
+
+def passt_fused_forward_from_wav(model, variables, wav: jnp.ndarray,
+                                 compute_dtype: Dtype = jnp.bfloat16,
+                                 wav_scale=None, interpret: bool = False,
+                                 **frontend_kwargs) -> Dict[str, jnp.ndarray]:
+    """FOA waveform -> PaSST logits with the eval ScalarBN + compute-dtype
+    cast folded into the frontend kernel (serving.folded_wav_features);
+    ``wav_scale`` rides the prep concatenate. Equal to extractor ->
+    model.apply(train=False) up to compute-dtype noise."""
+    from .htsat import folded_wav_features
+
+    feats = folded_wav_features(variables, wav, compute_dtype=compute_dtype,
+                                wav_scale=wav_scale, interpret=interpret,
+                                **frontend_kwargs)
+    return passt_fused_forward(model, variables, feats,
+                               compute_dtype=compute_dtype,
+                               interpret=interpret, pre_normalized=True)

@@ -44,6 +44,14 @@ def test_swin_block_kernel_parity(rng):
                                            compute_dtype=jnp.float32,
                                            attn_impl="exp2", interpret=True))
         assert np.abs(got2 - ref).max() < 5e-5
+        # head-batched attention: heads on the dot_general batch dim —
+        # bitwise-identical to the per-head loop (same dots, same order)
+        got3 = np.asarray(swin_block_fused(x, vs["params"], H=H, W=W, nh=nh,
+                                           window=w, shift=shift,
+                                           compute_dtype=jnp.float32,
+                                           attn_impl="batched",
+                                           interpret=True))
+        assert np.abs(got3 - got).max() == 0.0
 
 
 def test_htsat_fused_forward_parity(rng):
@@ -300,3 +308,62 @@ def test_htsat_fused_forward_from_wav_parity(rng):
         model, variables, wav, wav_scale=jnp.float32(1.25),
         compute_dtype=jnp.float32, interpret=True, **fe)["multi_accdoa"])
     np.testing.assert_allclose(a, b, atol=2e-6)
+
+
+def test_passt_crnn_fused_forward_from_wav_parity(rng):
+    """passt/crnn _from_wav (ScalarBN folded into the frontend kernel) ==
+    pallas extractor -> fused forward with in-graph ScalarBN, f32."""
+    import flax
+
+    from pseldnets_tpu.ops.pallas.frontend import fused_logmel_iv
+    from pseldnets_tpu.serving import (crnn_fused_forward,
+                                       crnn_fused_forward_from_wav,
+                                       passt_fused_forward,
+                                       passt_fused_forward_from_wav)
+
+    fe = dict(n_mels=16, t_blk=32)
+
+    def randomize_bn(variables):
+        vs = flax.core.unfreeze(variables)
+        bn = vs["batch_stats"]["scalar"]["bn"]
+        bn["running_mean"] = jnp.asarray(
+            rng.standard_normal(bn["running_mean"].shape).astype(np.float32)
+            * 0.5)
+        bn["running_var"] = jnp.asarray(
+            (rng.random(bn["running_var"].shape) + 0.5).astype(np.float32))
+        return vs
+
+    # PaSST: 101 frames <- 24000 samples @ hop 240
+    model = _tiny_passt()
+    wav = jnp.asarray(rng.standard_normal((2, 4, 24000)).astype(np.float32)
+                      * 0.1)
+    feats = fused_logmel_iv(wav, split3=True, interpret=True, **fe)
+    vs = randomize_bn(model.init({"params": jax.random.PRNGKey(0)}, feats,
+                                 train=False))
+    ref = np.asarray(passt_fused_forward(model, vs, feats,
+                                         compute_dtype=jnp.float32,
+                                         interpret=True)["accdoa"])
+    got = np.asarray(passt_fused_forward_from_wav(
+        model, vs, wav, compute_dtype=jnp.float32, interpret=True,
+        **fe)["accdoa"])
+    assert got.shape == ref.shape
+    assert np.abs(got - ref).max() < 5e-5, np.abs(got - ref).max()
+
+    # CRNN: 80 frames <- 18960 samples @ hop 240
+    model = heads.CRNN(num_classes=4, in_channels=7, encoder="CNN8",
+                       num_features=(8, 16, 16, 24), decoder="conformer",
+                       num_decoder_layers=1, mel_bins=16, pred_res=10,
+                       num_tracks=1)
+    wav = jnp.asarray(rng.standard_normal((2, 4, 18960)).astype(np.float32)
+                      * 0.1)
+    feats = fused_logmel_iv(wav, split3=True, interpret=True, **fe)
+    vs = randomize_bn(model.init({"params": jax.random.PRNGKey(0)}, feats,
+                                 train=False))
+    ref = np.asarray(crnn_fused_forward(model, vs, feats,
+                                        compute_dtype=jnp.float32)
+                     [model.output_key])
+    got = np.asarray(crnn_fused_forward_from_wav(
+        model, vs, wav, compute_dtype=jnp.float32, interpret=True,
+        **fe)[model.output_key])
+    assert got.shape == ref.shape
+    assert np.abs(got - ref).max() < 5e-5, np.abs(got - ref).max()
