@@ -153,7 +153,7 @@ def bench_cnn14_accdoa():
 
     from pseldnets_tpu.ops.pallas.frontend import fused_logmel_iv
 
-    from pseldnets_tpu.serving import crnn_fused_forward
+    from pseldnets_tpu.serving import crnn_fused_forward_from_wav
 
     cfg, model = _build(["model=crnn", "loss=accdoa"])
     B = 128
@@ -165,12 +165,12 @@ def bench_cnn14_accdoa():
                              jnp.float32) * 0.1
     jax.block_until_ready(base)
     dt = _k_time(
-        lambda k, w, v: crnn_fused_forward(
-            model, v, extractor(w * (1.0 + 1e-4 * k)))["accdoa"].astype(
+        lambda k, w, v: crnn_fused_forward_from_wav(
+            model, v, w, wav_scale=1.0 + 1e-4 * k)["accdoa"].astype(
                 jnp.float32).mean(),
         (base, variables))
-    _emit("cnn14_accdoa_infer (pallas frontend + fused CRNN serving "
-          "[folded BNs, flattened conformer], bf16)", dt, B, 10.0)
+    _emit("cnn14_accdoa_infer (glue-folded pallas frontend + fused CRNN "
+          "serving [folded BNs, flattened conformer], bf16)", dt, B, 10.0)
 
 
 def bench_adapterbit_train():

@@ -118,8 +118,17 @@ def _softmax(s: jnp.ndarray, fast: bool = False) -> jnp.ndarray:
 
 def _block_kernel(x_ref, dp_ref, ln1s, ln1b, qkvw, qkvb, projw, projb,
                   ln2s, ln2b, fc1w, fc1b, fc2w, fc2b, bias_ref, mask_ref,
-                  out_ref, *, H, W, C, nh, w, shift, hidden, has_mask,
-                  has_dp, compute_dtype, attn_impl="exact"):
+                  *rest, H, W, C, nh, w, shift, hidden, has_mask,
+                  has_dp, compute_dtype, attn_impl="exact", merge=False):
+    if merge:
+        # PatchMerging folded into the stage's LAST block (eval serving):
+        # the 2x2 neighbor concat + LN + 4C->2C reduction run on the tokens
+        # already in VMEM, so the XLA-side strided-slice copies (~3.5 ms of
+        # the B=128 step, r4g profile) and the merge's extra HBM round-trip
+        # disappear. out_ref is (G, L//4, 2C).
+        mns, mnb, redw, out_ref = rest
+    else:
+        (out_ref,) = rest
     N = w * w
     nW = (H // w) * (W // w)
     hd = C // nh
@@ -248,8 +257,19 @@ def _block_kernel(x_ref, dp_ref, ln1s, ln1b, qkvw, qkvb, projw, projb,
         rows = (G * L) // n_chunks
         for c in range(n_chunks):
             yc = y[c * rows:(c + 1) * rows]
-            outs.append((yc + mlp(yc)).astype(out_ref.dtype))
-    out_ref[:] = jnp.concatenate(outs, axis=0).reshape(G, L, C)
+            outs.append((yc + mlp(yc)).astype(cd if merge else out_ref.dtype))
+    out = jnp.concatenate(outs, axis=0)
+    if merge:
+        v = out.reshape(G, H // 2, 2, W // 2, 2, C)
+        cat = jnp.concatenate([v[:, :, 0, :, 0], v[:, :, 1, :, 0],
+                               v[:, :, 0, :, 1], v[:, :, 1, :, 1]], axis=-1)
+        cat = cat.reshape(G * (H // 2) * (W // 2), 4 * C)
+        ln = _ln(cat.astype(jnp.float32), mns[0], mnb[0], fast).astype(cd)
+        red = jnp.dot(ln, redw[:].astype(cd),
+                      preferred_element_type=jnp.float32)
+        out_ref[:] = red.astype(out_ref.dtype).reshape(G, L // 4, 2 * C)
+    else:
+        out_ref[:] = out.reshape(G, L, C)
 
 
 def _rel_bias(table: jnp.ndarray, w: int, nh: int) -> jnp.ndarray:
@@ -263,6 +283,7 @@ def _rel_bias(table: jnp.ndarray, w: int, nh: int) -> jnp.ndarray:
 def swin_block_fused(x: jnp.ndarray, p: Dict, *, H: int, W: int, nh: int,
                      window: int, shift: int, compute_dtype=jnp.bfloat16,
                      group: int = 0, dp_masks=None, attn_impl: str = "exact",
+                     merge_params: Dict = None,
                      interpret: bool = False) -> jnp.ndarray:
     """x (B, H*W, C) + the block's flax param subtree -> (B, H*W, C).
 
@@ -273,6 +294,12 @@ def swin_block_fused(x: jnp.ndarray, p: Dict, *, H: int, W: int, nh: int,
     ``group`` = images per grid cell (0 = auto). Grid-cell dispatch has a
     fixed ~30 us overhead on v5e, so small late-stage tiles are batched up to
     a ~8k-token payload per cell.
+
+    ``merge_params`` (eval only): the stage's PatchMerging param subtree
+    ({norm: {scale, bias}, reduction: {kernel}}) — the 2x2 concat + LN +
+    4C->2C reduction run in-kernel on the VMEM-resident tokens and the
+    output becomes (B, H*W//4, 2C), equal to models.htsat.PatchMerging of
+    the block output.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -353,15 +380,31 @@ def swin_block_fused(x: jnp.ndarray, p: Dict, *, H: int, W: int, nh: int,
         const(hidden, C), const(1, C),
         const(nh, N, N), const(mask.shape[0], N, N),
     ]
+    merge = merge_params is not None
+    if merge:
+        assert not has_dp, "merge fold is eval-only (no drop-path)"
+        red_p = dense(merge_params["reduction"])
+        args += [v1(merge_params["norm"]["scale"]),
+                 v1(merge_params["norm"]["bias"]),
+                 jnp.asarray(red_p["kernel"], jnp.float32)]
+        in_specs += [const(1, 4 * C), const(1, 4 * C),
+                     const(4 * C, 2 * C)]
+        out_spec = pl.BlockSpec((G, L // 4, 2 * C), lambda b: (b, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((B, L // 4, 2 * C), x.dtype)
+    else:
+        out_spec = pl.BlockSpec((G, L, C), lambda b: (b, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((B, L, C), x.dtype)
     return pl.pallas_call(
         partial(_block_kernel, H=H, W=W, C=C, nh=nh, w=w, shift=shift,
                 hidden=hidden, has_mask=has_mask, has_dp=has_dp,
-                compute_dtype=compute_dtype, attn_impl=attn_impl),
+                compute_dtype=compute_dtype, attn_impl=attn_impl,
+                merge=merge),
         grid=(B // G,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((G, L, C), lambda b: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, L, C), x.dtype),
+        out_specs=out_spec,
+        out_shape=out_shape,
         # the big stage-0 tile (4096 tokens) peaks ~21 MB of live VMEM —
         # above XLA's conservative 16 MB scoped default, well under the
         # chip's 128 MB

@@ -57,8 +57,13 @@ def htsat_fused_forward(model: "heads.HTSAT", variables, x: jnp.ndarray,
                         compute_dtype: Dtype = jnp.bfloat16,
                         attn_impl: str = "exact",
                         interpret: bool = False,
-                        pre_normalized: bool = False) -> Dict[str, jnp.ndarray]:
+                        pre_normalized: bool = False,
+                        merge_fold: bool = False) -> Dict[str, jnp.ndarray]:
     """Eval-mode forward equal to ``model.apply(variables, x, train=False)``.
+
+    ``merge_fold``: run each stage's PatchMerging inside the stage's last
+    block kernel (swin_block_fused merge_params) instead of as XLA
+    strided-slice copies.
 
     ``pre_normalized``: ``x`` already carries the eval ScalarBN (folded into
     the frontend kernel via ``fused_logmel_iv(post_affine=...)``) and may be
@@ -123,11 +128,15 @@ def htsat_fused_forward(model: "heads.HTSAT", variables, x: jnp.ndarray,
         # swin_stage_fused_v2 stays in-tree as a parity-pinned spare.
         for j in range(depths[i]):
             shift = 0 if j % 2 == 0 else base_shift
+            last = j == depths[i] - 1
+            fold_merge = merge_fold and last and i < num_layers - 1
             x = swin_block_fused(
                 x, lp[f"blocks_{j}"], H=Hi, W=Wi, nh=num_heads[i],
                 window=w_i, shift=shift, compute_dtype=compute_dtype,
-                attn_impl=attn_impl, interpret=interpret)
-        if i < num_layers - 1:  # PatchMerging (models.htsat.PatchMerging)
+                attn_impl=attn_impl, interpret=interpret,
+                merge_params=lp["downsample"] if fold_merge else None)
+        if not merge_fold and i < num_layers - 1:
+            # PatchMerging (models.htsat.PatchMerging) at the XLA level
             dm = lp["downsample"]
             v = x.reshape(Bp, Hi, Wi, -1)
             v = jnp.concatenate([v[:, 0::2, 0::2], v[:, 1::2, 0::2],
@@ -213,6 +222,7 @@ def htsat_fused_forward_from_wav(model: "heads.HTSAT", variables,
                                  wav_scale=None,
                                  attn_impl: str = "exact",
                                  interpret: bool = False,
+                                 merge_fold: bool = False,
                                  **frontend_kwargs) -> Dict[str, jnp.ndarray]:
     """Full serving step from the FOA waveform: frontend + model, with the
     eval ScalarBN, the bf16 cast and the reshape_wav2img frame pad all folded
@@ -232,4 +242,4 @@ def htsat_fused_forward_from_wav(model: "heads.HTSAT", variables,
     return htsat_fused_forward(model, variables, feats,
                                compute_dtype=compute_dtype,
                                attn_impl=attn_impl, interpret=interpret,
-                               pre_normalized=True)
+                               pre_normalized=True, merge_fold=merge_fold)

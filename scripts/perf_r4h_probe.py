@@ -51,13 +51,13 @@ def main():
                              jnp.float32) * 0.1
     jax.block_until_ready(base)
 
-    def make_step(impl):
+    def make_step(impl, merge_fold=False):
         @jax.jit
         def step(v, w, k):
             def body(i, acc):
                 out = htsat_fused_forward_from_wav(
                     model, v, w, wav_scale=1.0 + 1e-4 * (k * K + i),
-                    split3=True, attn_impl=impl)
+                    split3=True, attn_impl=impl, merge_fold=merge_fold)
                 return acc + out["multi_accdoa"].astype(jnp.float32).mean()
             return jax.lax.fori_loop(0, K, body, jnp.float32(0))
         return step
@@ -74,8 +74,10 @@ def main():
     print(f"batched-vs-exact on-chip max dev: {np.abs(a - b).max():.2e} "
           f"(scale {np.abs(b).max():.3f})", flush=True)
 
-    for impl in ("exact", "batched", "exact"):
-        step = make_step(impl)
+    variants = [("exact", False), ("batched", False), ("exact", True),
+                ("batched", True), ("exact", False)]
+    for impl, mf in variants:
+        step = make_step(impl, mf)
         t0 = time.perf_counter()
         _ = float(step(variables, base, jnp.int32(0)))
         compile_s = time.perf_counter() - t0
@@ -83,7 +85,8 @@ def main():
         for i in range(ITERS):
             _ = float(step(variables, base, jnp.int32(i + 1)))
         dt = (time.perf_counter() - t0) / (ITERS * K)
-        print(f"[{impl}] steady {dt * 1000:.2f} ms/batch = "
+        tag = impl + ("+merge_fold" if mf else "")
+        print(f"[{tag}] steady {dt * 1000:.2f} ms/batch = "
               f"{B / dt / 6:.1f} 1-min clips/s (compile {compile_s:.0f}s)",
               flush=True)
 

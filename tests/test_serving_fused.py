@@ -367,3 +367,21 @@ def test_passt_crnn_fused_forward_from_wav_parity(rng):
         **fe)[model.output_key])
     assert got.shape == ref.shape
     assert np.abs(got - ref).max() < 5e-5, np.abs(got - ref).max()
+
+
+def test_htsat_fused_forward_merge_fold_parity(rng):
+    """merge_fold=True (PatchMerging inside the stage's last block kernel)
+    == the XLA-merge fused forward, f32 interpret."""
+    model = _tiny_model()
+    x = jnp.asarray(rng.standard_normal((2, 7, 241, 16)).astype(np.float32)
+                    * 0.5)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    ref = np.asarray(htsat_fused_forward(model, variables, x,
+                                         compute_dtype=jnp.float32,
+                                         interpret=True)["multi_accdoa"])
+    got = np.asarray(htsat_fused_forward(model, variables, x,
+                                         compute_dtype=jnp.float32,
+                                         interpret=True,
+                                         merge_fold=True)["multi_accdoa"])
+    assert got.shape == ref.shape
+    assert np.abs(got - ref).max() < 2e-6, np.abs(got - ref).max()
