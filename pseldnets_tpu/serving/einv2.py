@@ -18,8 +18,10 @@ from ..ops.pallas.swin_block import swin_block_fused
 Dtype = Any
 
 
-def _fused_stage(enc, i: int, x: jnp.ndarray, compute_dtype, interpret):
-    """Swin stage i of a bound HTSATEncoder: fused blocks + flax PatchMerging."""
+def _fused_stage(enc, i: int, x: jnp.ndarray, compute_dtype, interpret,
+                 merge_fold=False):
+    """Swin stage i of a bound HTSATEncoder: fused blocks + flax PatchMerging
+    (or the merge folded into the last block kernel when ``merge_fold``)."""
     Hg = enc.spec_size // enc.patch_stride[0]
     Wg = enc.spec_size // enc.patch_stride[1]
     Hi, Wi = Hg // (2 ** i), Wg // (2 ** i)
@@ -27,19 +29,24 @@ def _fused_stage(enc, i: int, x: jnp.ndarray, compute_dtype, interpret):
     if min(Hi, Wi) <= enc.window_size:
         w_i, base_shift = min(Hi, Wi), 0
     pstage = enc.variables["params"][f"layers_{i}"]
+    has_merge = i < len(enc.depths) - 1
     for j in range(enc.depths[i]):  # per-block wins on-chip — serving/htsat.py
         shift = 0 if j % 2 == 0 else base_shift
+        fold = merge_fold and has_merge and j == enc.depths[i] - 1
         x = swin_block_fused(x, pstage[f"blocks_{j}"], H=Hi, W=Wi,
                              nh=enc.num_heads[i], window=w_i, shift=shift,
-                             compute_dtype=compute_dtype, interpret=interpret)
-    if i < len(enc.depths) - 1:
+                             compute_dtype=compute_dtype, interpret=interpret,
+                             merge_params=pstage["downsample"] if fold
+                             else None)
+    if has_merge and not merge_fold:
         x = enc.layers[i].downsample_mod(x)
     return x
 
 
 def einv2_htsat_fused_forward(model, variables, x: jnp.ndarray,
                               compute_dtype: Dtype = jnp.bfloat16,
-                              interpret: bool = False) -> Dict[str, jnp.ndarray]:
+                              interpret: bool = False,
+                              merge_fold: bool = False) -> Dict[str, jnp.ndarray]:
     """Eval-mode forward equal to ``model.apply(variables, x, train=False)``
     for models.einv2_heads.HTSAT."""
 
@@ -62,9 +69,9 @@ def einv2_htsat_fused_forward(model, variables, x: jnp.ndarray,
         for i in range(len(mdl.sed_encoder.depths)):
             x_sed, x_doa = mdl.stitch1[i](x_sed, x_doa)
             x_sed = _fused_stage(mdl.sed_encoder, i, x_sed, compute_dtype,
-                                 interpret)
+                                 interpret, merge_fold)
             x_doa = _fused_stage(mdl.doa_encoder, i, x_doa, compute_dtype,
-                                 interpret)
+                                 interpret, merge_fold)
         x_sed = mdl.sed_encoder.finalize(x_sed)
         x_doa = mdl.doa_encoder.finalize(x_doa)
 

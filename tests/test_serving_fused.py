@@ -162,6 +162,13 @@ def test_einv2_htsat_fused_forward_parity(rng):
     for k in ("sed", "doa"):
         d = np.abs(np.asarray(got[k]) - np.asarray(ref[k])).max()
         assert d < 5e-5, (k, d)
+    # merge_fold: PatchMerging inside the last block kernel of each stage
+    got2 = einv2_htsat_fused_forward(model, variables, x,
+                                     compute_dtype=jnp.float32,
+                                     interpret=True, merge_fold=True)
+    for k in ("sed", "doa"):
+        d = np.abs(np.asarray(got2[k]) - np.asarray(ref[k])).max()
+        assert d < 5e-5, (k, d)
 
 
 def test_gelu_poly_accuracy():
