@@ -74,8 +74,8 @@ def main():
     print(f"batched-vs-exact on-chip max dev: {np.abs(a - b).max():.2e} "
           f"(scale {np.abs(b).max():.3f})", flush=True)
 
-    variants = [("exact", False), ("batched", False), ("exact", True),
-                ("batched", True), ("exact", False)]
+    variants = [("exact", False), ("batched", False), ("exp2", False),
+                ("exact", True), ("batched", True), ("exact", False)]
     for impl, mf in variants:
         step = make_step(impl, mf)
         t0 = time.perf_counter()

@@ -101,7 +101,9 @@ def test_fused_frontend_lane_trim(rng):
                                    n_fft=512, hop=100, trim=False))
     b = np.asarray(fused_logmel_iv(jnp.asarray(x), t_blk=32, interpret=True,
                                    n_fft=512, hop=100))
-    np.testing.assert_allclose(a, b, atol=2e-4)
+    # rtol covers seed-dependent accumulation-order noise on large-|dB| bins
+    # (observed 2.8e-4 abs at 5.7e-6 rel on one element of 108k)
+    np.testing.assert_allclose(a, b, atol=2e-4, rtol=2e-5)
 
 
 def test_fused_frontend_dif_variant(rng):
