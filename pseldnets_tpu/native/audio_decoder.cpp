@@ -206,6 +206,7 @@ struct BitReader {
 struct FlacInfo {
   int64_t total_samples = 0;
   int channels = 0, samplerate = 0, bits = 0;
+  int min_bs = 0, max_bs = 0;  // STREAMINFO block sizes (min==max -> fixed)
   size_t frames_off = 0;  // first audio frame byte offset
 };
 
@@ -224,6 +225,8 @@ bool parse_flac_header(const FileBuf& fb, FlacInfo* fi) {
     size_t body = off + 4;
     if (type == 0 && len >= 34) {  // STREAMINFO
       const uint8_t* s = p + body;
+      fi->min_bs = ((uint32_t)s[0] << 8) | s[1];
+      fi->max_bs = ((uint32_t)s[2] << 8) | s[3];
       fi->samplerate = ((uint32_t)s[10] << 12) | ((uint32_t)s[11] << 4) |
                        (s[12] >> 4);
       fi->channels = ((s[12] >> 1) & 0x7) + 1;
@@ -367,6 +370,86 @@ bool read_utf8_coded(BitReader& br, uint64_t* out) {
 static const int kBlockSizeTable[16] = {0,   192,  576,  1152, 2304, 4608, -1, -2,
                                         256, 512, 1024, 2048, 4096, 8192, 16384, 32768};
 
+// FLAC header CRC-8 (poly 0x07, init 0) — headers are a handful of bytes, so
+// the bitwise loop beats carrying a table around.
+inline uint8_t crc8(const uint8_t* d, size_t n) {
+  uint8_t c = 0;
+  for (size_t i = 0; i < n; ++i) {
+    c ^= d[i];
+    for (int k = 0; k < 8; ++k)
+      c = (c & 0x80) ? (uint8_t)((c << 1) ^ 0x07) : (uint8_t)(c << 1);
+  }
+  return c;
+}
+
+struct FrameHdr {
+  int64_t first_sample = 0;
+  int blocksize = 0;
+  int ch_asgn = 0;
+  size_t off = 0;  // byte offset of the sync byte
+};
+
+// Parse + CRC-8-verify a frame header at br.pos (must be byte-aligned). On
+// success br is left at the first subframe bit. The fixed-blocksize
+// frame-index -> sample conversion uses the STREAMINFO nominal (max)
+// blocksize: the stream's LAST frame may be shorter, and its header codes
+// the frame index, not a sample count of its own size.
+bool parse_frame_header(BitReader& br, const FlacInfo& fi, FrameHdr* h) {
+  size_t off = br.pos;
+  if (br.bit != 0 || off + 5 > br.n) return false;
+  if ((uint32_t)br.read_bits(14) != 0x3FFE) return false;
+  if (br.read_bit()) return false;  // mandatory 0
+  uint32_t blocking = br.read_bit();
+  int bs_code = (int)br.read_bits(4);
+  int sr_code = (int)br.read_bits(4);
+  int ch_asgn = (int)br.read_bits(4);
+  int ss_code = (int)br.read_bits(3);
+  if (br.read_bit()) return false;  // mandatory 0
+  if (bs_code == 0 || sr_code == 15 || ss_code == 3 || ch_asgn > 10)
+    return false;
+  if (ch_asgn <= 7 ? (ch_asgn + 1 != fi.channels) : (fi.channels != 2))
+    return false;
+  if (br.pos + 8 > br.n) return false;  // utf8 number: up to 7 bytes
+  uint64_t frame_no;
+  if (!read_utf8_coded(br, &frame_no)) return false;
+  if (br.pos + 5 > br.n) return false;  // blocksize/sr extras + crc
+  int blocksize;
+  if (bs_code == 6)
+    blocksize = (int)br.read_bits(8) + 1;
+  else if (bs_code == 7)
+    blocksize = (int)br.read_bits(16) + 1;
+  else
+    blocksize = kBlockSizeTable[bs_code];
+  if (blocksize <= 0) return false;
+  if (sr_code == 12) br.read_bits(8);
+  else if (sr_code == 13 || sr_code == 14) br.read_bits(16);
+  uint32_t crc = (uint32_t)br.read_bits(8);
+  if (crc8(br.p + off, br.pos - 1 - off) != crc) return false;
+  int64_t nominal = fi.max_bs > 0 ? fi.max_bs : blocksize;
+  h->first_sample =
+      blocking ? (int64_t)frame_no : (int64_t)frame_no * nominal;
+  h->blocksize = blocksize;
+  h->ch_asgn = ch_asgn;
+  h->off = off;
+  return true;
+}
+
+// Scan [from, limit) for the next byte offset holding a CRC-valid frame
+// header. Frames are byte-aligned; sync is 0xFF 0b111110xb.
+bool find_frame(const FileBuf& fb, const FlacInfo& fi, size_t from,
+                size_t limit, FrameHdr* h) {
+  const uint8_t* p = fb.data.data();
+  size_t n = fb.data.size();
+  if (limit > n) limit = n;
+  for (size_t o = from; o + 2 <= limit; ++o) {
+    if (p[o] != 0xFF || (p[o + 1] & 0xFC) != 0xF8) continue;
+    BitReader br{p, n};
+    br.pos = o;
+    if (parse_frame_header(br, fi, h)) return true;
+  }
+  return false;
+}
+
 struct FlacDecoder {
   const FlacInfo& fi;
   BitReader br;
@@ -382,31 +465,11 @@ struct FlacDecoder {
   int next_frame(int64_t* first_sample) {
     if (br.pos + 4 >= br.n) return 0;  // clean EOF
     br.align();
-    uint32_t sync = (uint32_t)br.read_bits(14);
-    if (sync != 0x3FFE) return ERR_CORRUPT;
-    br.read_bit();  // reserved
-    uint32_t blocking = br.read_bit();
-    int bs_code = (int)br.read_bits(4);
-    int sr_code = (int)br.read_bits(4);
-    int ch_asgn = (int)br.read_bits(4);
-    int ss_code = (int)br.read_bits(3);
-    br.read_bit();  // reserved
-    uint64_t frame_no;
-    if (!read_utf8_coded(br, &frame_no)) return ERR_CORRUPT;
-    int blocksize;
-    if (bs_code == 6)
-      blocksize = (int)br.read_bits(8) + 1;
-    else if (bs_code == 7)
-      blocksize = (int)br.read_bits(16) + 1;
-    else
-      blocksize = kBlockSizeTable[bs_code];
-    if (blocksize <= 0) return ERR_CORRUPT;
-    if (sr_code == 12) br.read_bits(8);
-    else if (sr_code == 13 || sr_code == 14) br.read_bits(16);
-    br.read_bits(8);  // CRC-8 (unverified)
-
+    FrameHdr h;
+    if (!parse_frame_header(br, fi, &h)) return ERR_CORRUPT;
+    int blocksize = h.blocksize;
+    int ch_asgn = h.ch_asgn;
     int bps = fi.bits;
-    (void)ss_code;
     int C = fi.channels;
     for (int c = 0; c < C; ++c)
       if ((int)chan[c].size() < blocksize) chan[c].resize(blocksize);
@@ -440,9 +503,7 @@ struct FlacDecoder {
     }
     br.align();
     br.read_bits(16);  // CRC-16 (unverified)
-    // blocking==1 -> frame_no is a sample number; else frame index (fixed bs)
-    *first_sample = blocking ? (int64_t)frame_no
-                             : (int64_t)frame_no * blocksize;
+    *first_sample = h.first_sample;
     return blocksize;
   }
 };
@@ -456,11 +517,61 @@ int read_flac(const FileBuf& fb, const FlacInfo& fi, float* out, int64_t start,
   int64_t nf = stop - start;
   int C = fi.channels;
   int64_t pos = 0;  // running sample counter (from decoder stream order)
+
+  // Seek (libFLAC's no-seektable strategy): frames are byte-aligned,
+  // independently decodable, and their CRC-8-verified headers code a
+  // monotonically increasing sample/frame number — so binary-search byte
+  // offsets for the latest frame with first_sample <= start and decode
+  // from there. A ranged read costs O(range), not O(start + range); the
+  // training loader's random 10 s chunks out of 60 s clips skip an average
+  // 25 s prefix decode.
+  bool seeked = false;
+  if (start > 0) {
+    FrameHdr h;
+    size_t lo = fi.frames_off, hi = fb.data.size();
+    size_t best_off = fi.frames_off;
+    int64_t best_sample = 0;
+    int best_bs = 0;
+    while (hi > lo + 2048) {
+      size_t mid = lo + (hi - lo) / 2;
+      if (find_frame(fb, fi, mid, hi, &h) && h.first_sample <= start) {
+        best_off = h.off;
+        best_sample = h.first_sample;
+        best_bs = h.blocksize;
+        lo = h.off + 1;
+      } else {
+        hi = mid;
+      }
+    }
+    if (best_off != fi.frames_off) {
+      // Consistency gate: the next header's number must continue this one
+      // (catches non-conformant numbering, e.g. all-zero frame indices,
+      // where a sequential decode is still correct but a seek is not).
+      bool ok = true;
+      if (find_frame(fb, fi, best_off + 1, fb.data.size(), &h))
+        ok = (h.first_sample == best_sample + best_bs);
+      if (ok) {
+        dec.br.pos = best_off;
+        dec.br.bit = 0;
+        pos = best_sample;
+        seeked = true;
+      }
+    }
+  }
   for (;;) {
     int64_t first = 0;
     int bs = dec.next_frame(&first);
     if (bs == 0) break;
-    if (bs < 0) return bs;
+    if (bs < 0) {
+      if (seeked) {  // bad landing (e.g. false sync): full decode fallback
+        dec.br.pos = fi.frames_off;
+        dec.br.bit = 0;
+        pos = 0;
+        seeked = false;
+        continue;
+      }
+      return bs;
+    }
     // frames decode sequentially; the coded frame/sample number is advisory
     int64_t fstart = pos;
     pos = fstart + bs;

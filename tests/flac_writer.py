@@ -42,6 +42,24 @@ class BitWriter:
         return bytes(self.buf)
 
 
+def _crc8(data: bytes) -> int:
+    c = 0
+    for b in data:
+        c ^= b
+        for _ in range(8):
+            c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 else (c << 1) & 0xFF
+    return c
+
+
+def _crc16(data: bytes) -> int:
+    c = 0
+    for b in data:
+        c ^= b << 8
+        for _ in range(8):
+            c = ((c << 1) ^ 0x8005) & 0xFFFF if c & 0x8000 else (c << 1) & 0xFFFF
+    return c
+
+
 def _utf8_code(n: int) -> bytes:
     if n < 0x80:
         return bytes([n])
@@ -143,9 +161,11 @@ def _write_subframe(bw, x, bps, kind="verbatim", order=2, lpc_coef=None,
 
 
 def write_flac(path, audio_i16: np.ndarray, samplerate: int, blocksize: int = 256,
-               subframe_plan=None, stereo_mode="independent"):
+               subframe_plan=None, stereo_mode="independent", frame_no_fn=None):
     """audio_i16: (channels, frames) int16. subframe_plan: callable
-    (frame_idx, ch) -> kwargs for _write_subframe, or None for verbatim."""
+    (frame_idx, ch) -> kwargs for _write_subframe, or None for verbatim.
+    frame_no_fn: callable frame_idx -> coded frame number, for testing the
+    decoder's handling of non-conformant numbering (seek must fall back)."""
     audio = np.asarray(audio_i16, np.int64)
     C, N = audio.shape
     bps = 16
@@ -183,10 +203,10 @@ def write_flac(path, audio_i16: np.ndarray, samplerate: int, blocksize: int = 25
         bw.write(ch_asgn, 4)
         bw.write(0, 3)  # sample size from STREAMINFO
         bw.write(0, 1)
-        for b in _utf8_code(fi):
+        for b in _utf8_code(fi if frame_no_fn is None else frame_no_fn(fi)):
             bw.write(b, 8)
         bw.write(bs - 1, 16)
-        bw.write(0, 8)  # crc8 (decoder doesn't verify)
+        bw.write(_crc8(bytes(bw.buf)), 8)  # header CRC-8 (decoder verifies)
 
         block = audio[:, lo:hi]
         if C == 2 and stereo_mode != "independent":
@@ -206,7 +226,7 @@ def write_flac(path, audio_i16: np.ndarray, samplerate: int, blocksize: int = 25
                 kwargs = dict(subframe_plan(fi, c) or {"kind": "verbatim"})
             _write_subframe(bw, sig, sbps, **kwargs)
         bw.align()
-        bw.write(0, 16)  # crc16 (unverified)
+        bw.write(_crc16(bytes(bw.buf)), 16)  # frame CRC-16
         out += bw.bytes()
 
     with open(path, "wb") as f:

@@ -115,3 +115,37 @@ def test_flac_ranged_read(tmp_path, rng, native_ok):
     y = audio_io.load_audio(p, 450, 1730)
     np.testing.assert_allclose(y, x[:, 450:1730].astype(np.float32) / 32768.0,
                                atol=1e-7)
+
+
+def test_flac_seek_parity(tmp_path, rng, native_ok):
+    """Binary-search seek (audio_decoder.cpp read_flac): ranged reads from
+    many offsets — including ones landing mid-frame, on frame boundaries,
+    and in the short LAST frame of a fixed-blocksize stream (whose header
+    codes a frame index, converted via the STREAMINFO nominal blocksize) —
+    are bit-identical to slicing the full decode."""
+    C, N = 4, 120000  # ~293 frames of 409+1 samples + a short last frame
+    x = (rng.standard_normal((C, N)) * 6000).astype(np.int16)
+    p = tmp_path / "seek.flac"
+    write_flac(p, x, 24000, blocksize=410)
+    full = audio_io.load_audio(p)
+    np.testing.assert_array_equal(full, x.astype(np.float32) / 32768.0)
+    for start, stop in [(0, 500), (409, 1230), (410, 820), (59999, 60010),
+                        (100000, 120000), (119795, 120000), (N - 1, N),
+                        (73421, 74242)]:
+        y = audio_io.load_audio(p, start, stop)
+        np.testing.assert_array_equal(y, full[:, start:stop],
+                                      err_msg=f"range {start}:{stop}")
+
+
+def test_flac_seek_nonconformant_numbering(tmp_path, rng, native_ok):
+    """A stream whose frame headers all code frame number 0 decodes correctly
+    sequentially; the seek's consistency gate must detect the broken
+    numbering and fall back to the full decode rather than mis-seek."""
+    C, N = 2, 40000
+    x = (rng.standard_normal((C, N)) * 6000).astype(np.int16)
+    p = tmp_path / "zero.flac"
+    write_flac(p, x, 24000, blocksize=256, frame_no_fn=lambda i: 0)
+    full = audio_io.load_audio(p)
+    np.testing.assert_array_equal(full, x.astype(np.float32) / 32768.0)
+    y = audio_io.load_audio(p, 30000, 31000)
+    np.testing.assert_array_equal(y, full[:, 30000:31000])
