@@ -30,9 +30,41 @@ _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
 TARGET_CLIPS_PER_SEC = 300.0  # 5 x estimated A100 torch-reference rate
 
 
+def _wait_for_backend(attempts: int = 5, sleep_s: float = 120.0):
+    """Wait out transient relay outages (observed: minutes to hours of
+    UNAVAILABLE) so a hiccup at bench time doesn't record nothing. Probes in
+    a SUBPROCESS: jax caches a failed backend init for the process lifetime,
+    so the main process must only touch the device once a probe succeeds."""
+    import subprocess
+
+    # devices() exercises backend init (where outages surface both as fast
+    # UNAVAILABLE errors and as indefinite hangs) WITHOUT the
+    # first-execution chip claim, so the probe is fast when the relay is up.
+    # Budget: attempts*(probe timeout + sleep) must fit the driver's window.
+    probe = "import jax; assert jax.devices()"
+    err = b""
+    for i in range(attempts):
+        try:
+            r = subprocess.run([sys.executable, "-c", probe],
+                               capture_output=True, timeout=360)
+            if r.returncode == 0:
+                return
+            err = r.stderr
+        except subprocess.TimeoutExpired:
+            err = b"probe hung >360s (relay init stall)"
+        if i == attempts - 1:
+            sys.stderr.write(err.decode(errors="replace")[-2000:])
+            raise RuntimeError("TPU backend unavailable after retries")
+        print(f"backend unavailable; retry {i + 1}/{attempts - 1} "
+              f"in {sleep_s:.0f}s", file=sys.stderr, flush=True)
+        time.sleep(sleep_s)
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    _wait_for_backend()
 
     from pseldnets_tpu.config import compose
     from pseldnets_tpu.models import build_model

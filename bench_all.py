@@ -193,6 +193,8 @@ MODES = {
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     names = argv or list(MODES)
+    from bench import _wait_for_backend
+    _wait_for_backend()  # ride out transient relay outages (see bench.py)
     for name in names:
         MODES[name]()
 
