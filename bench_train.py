@@ -111,6 +111,8 @@ def bench_mode(name, overrides):
 
 
 def main():
+    from bench import _wait_for_backend
+    _wait_for_backend()  # ride out transient relay outages (see bench.py)
     bench_mode("train_step_htsat_maccdoa_b32 (fused frontend + fwd+bwd+AdamW, bf16)", [])
     bench_mode("train_step_htsat_maccdoa_b32_adapterbit (frozen backbone + adapters)",
                ["adapt=adapter"])
