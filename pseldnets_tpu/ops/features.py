@@ -88,7 +88,10 @@ class LogmelIVExtractor:
         )
         self._stft = stft if use_fft else stft_dft
         if backend == "auto":
-            backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+            # "axon": this dev harness's TPU relay platform name — its
+            # lowering canonicalizes to "tpu", so pallas kernels apply
+            backend = ("pallas" if jax.default_backend() in ("tpu", "axon")
+                       else "xla")
         self.backend = backend
         # split-bf16 3-dot DFT (3x fewer MXU passes than f32 HIGHEST's 6;
         # max observed error 8e-4 dB logmel / 7e-5 IV vs f32). Set

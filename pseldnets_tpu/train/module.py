@@ -261,7 +261,7 @@ class SELDTask:
         # pairing becomes shard-local, same semantics as the reference's
         # per-GPU DDP batches).
         fused_fn = None
-        if jax.default_backend() == "tpu":
+        if jax.default_backend() in ("tpu", "axon"):  # axon = TPU relay
             from .. import serving
 
             if (isinstance(self.model, heads.HTSAT)
