@@ -38,8 +38,18 @@ def _pmap(fn, items, num_workers: int, processes: bool = False):
         return [fn(it) for it in items]
     from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 
-    cls = ProcessPoolExecutor if processes else ThreadPoolExecutor
-    with cls(max_workers=min(num_workers, len(items))) as ex:
+    n = min(num_workers, len(items))
+    if processes:
+        # spawn, not fork: this process is multithreaded by the time preproc
+        # runs (jax/torch imports start worker threads), and forking a
+        # multithreaded process can deadlock the children (CPython emits
+        # DeprecationWarning/RuntimeWarning for exactly this)
+        import multiprocessing
+
+        ctx = multiprocessing.get_context("spawn")
+        with ProcessPoolExecutor(max_workers=n, mp_context=ctx) as ex:
+            return list(ex.map(fn, items))
+    with ThreadPoolExecutor(max_workers=n) as ex:
         return list(ex.map(fn, items))
 
 
