@@ -260,14 +260,45 @@ def _block_kernel(x_ref, dp_ref, ln1s, ln1b, qkvw, qkvb, projw, projb,
             outs.append((yc + mlp(yc)).astype(cd if merge else out_ref.dtype))
     out = jnp.concatenate(outs, axis=0)
     if merge:
-        v = out.reshape(G, H // 2, 2, W // 2, 2, C)
-        cat = jnp.concatenate([v[:, :, 0, :, 0], v[:, :, 1, :, 0],
-                               v[:, :, 0, :, 1], v[:, :, 1, :, 1]], axis=-1)
-        cat = cat.reshape(G * (H // 2) * (W // 2), 4 * C)
-        ln = _ln(cat.astype(jnp.float32), mns[0], mnb[0], fast).astype(cd)
-        red = jnp.dot(ln, redw[:].astype(cd),
-                      preferred_element_type=jnp.float32)
-        out_ref[:] = red.astype(out_ref.dtype).reshape(G, L // 4, 2 * C)
+        # 2x2 neighbor select, Mosaic-legal formulation (probe_merge_ops*.py):
+        # the naive strided 6-D views + lane-concat are rejected ("offset
+        # mismatch on non-concat dimension" / "unsupported shape cast") —
+        # instead lane-pad each token row to Cp = ceil(C/128)*128 so the
+        # (R, Cp) -> (R/2, 2Cp) w-pair merge reshape and every lane slice are
+        # tile-aligned, then split h-parity as alternating W//2-row blocks.
+        # Tokens are row-major in (h, w), so w-parity = adjacent-row parity.
+        # The caller pads norm scale/bias + reduction rows per piece to Cp
+        # with ZEROS, so pad lanes normalize to exactly 0 and contribute
+        # nothing to the reduction dot. LN runs cross-piece with explicit
+        # moments over the 4C REAL lanes (two-pass, eps matching _ln).
+        Cp = -(-C // 128) * 128
+        xp = out  # (G*L, C) in cd
+        if Cp != C:
+            xp = jnp.concatenate(
+                [xp, jnp.zeros((G * L, Cp - C), xp.dtype)], axis=-1)
+        a = xp.reshape(G * H * (W // 2), 2 * Cp)
+        w0 = a[:, :Cp].reshape(G * (H // 2), 2, (W // 2), Cp)
+        w1 = a[:, Cp:].reshape(G * (H // 2), 2, (W // 2), Cp)
+        R4 = G * L // 4
+        # reference PatchMerging concat order: (h0,w0), (h1,w0), (h0,w1),
+        # (h1,w1) — models/htsat.py PatchMerging
+        ps = [p.reshape(R4, Cp).astype(jnp.float32)
+              for p in (w0[:, 0], w0[:, 1], w1[:, 0], w1[:, 1])]
+        n = 4 * C  # real lanes only; pad lanes are zero and drop out of sums
+        mean = sum(jnp.sum(p, -1, keepdims=True) for p in ps) / n
+        var = sum(jnp.sum((p - mean) ** 2, -1, keepdims=True)
+                  for p in ps) / n
+        # pad lanes: (0-mean)^2 pollutes var — remove their contribution
+        if Cp != C:
+            var = var - (Cp - C) * 4 * (mean * mean) / n
+        inv = jax.lax.rsqrt(var + 1e-5)
+        acc = jnp.zeros((R4, 2 * C), jnp.float32)
+        for i, p in enumerate(ps):
+            ln_i = ((p - mean) * inv * mns[0, i * Cp:(i + 1) * Cp]
+                    + mnb[0, i * Cp:(i + 1) * Cp]).astype(cd)
+            acc = acc + jnp.dot(ln_i, redw[i * Cp:(i + 1) * Cp].astype(cd),
+                                preferred_element_type=jnp.float32)
+        out_ref[:] = acc.astype(out_ref.dtype).reshape(G, L // 4, 2 * C)
     else:
         out_ref[:] = out.reshape(G, L, C)
 
@@ -384,11 +415,23 @@ def swin_block_fused(x: jnp.ndarray, p: Dict, *, H: int, W: int, nh: int,
     if merge:
         assert not has_dp, "merge fold is eval-only (no drop-path)"
         red_p = dense(merge_params["reduction"])
-        args += [v1(merge_params["norm"]["scale"]),
-                 v1(merge_params["norm"]["bias"]),
-                 jnp.asarray(red_p["kernel"], jnp.float32)]
-        in_specs += [const(1, 4 * C), const(1, 4 * C),
-                     const(4 * C, 2 * C)]
+        # per-piece zero-pad to Cp lanes/rows so the kernel's 128-aligned
+        # slices pick them up and pad lanes normalize to exactly 0 (see the
+        # merge branch of _block_kernel)
+        Cp = -(-C // 128) * 128
+        lane_pad = ((0, 0), (0, Cp - C))
+        mns_ = jnp.pad(jnp.asarray(merge_params["norm"]["scale"],
+                                   jnp.float32).reshape(4, C),
+                       lane_pad).reshape(1, 4 * Cp)
+        mnb_ = jnp.pad(jnp.asarray(merge_params["norm"]["bias"],
+                                   jnp.float32).reshape(4, C),
+                       lane_pad).reshape(1, 4 * Cp)
+        redw_ = jnp.pad(jnp.asarray(red_p["kernel"],
+                                    jnp.float32).reshape(4, C, 2 * C),
+                        ((0, 0), (0, Cp - C), (0, 0))).reshape(4 * Cp, 2 * C)
+        args += [mns_, mnb_, redw_]
+        in_specs += [const(1, 4 * Cp), const(1, 4 * Cp),
+                     const(4 * Cp, 2 * C)]
         out_spec = pl.BlockSpec((G, L // 4, 2 * C), lambda b: (b, 0, 0),
                                 memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct((B, L // 4, 2 * C), x.dtype)

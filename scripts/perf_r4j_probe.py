@@ -1,17 +1,16 @@
 #!/usr/bin/env python
-"""Probe R4H: head-batched attention A/B on the flagship folded step
-(B=128, fori K=32, quiet box).
+"""Probe R4J: PatchMerging-fold A/B on the flagship glue-folded step after
+the Mosaic-legal rewrite (B=128, fori K=32, quiet box).
 
-The r4g device profile has the 12 per-block Swin kernels at ~29.4 ms of the
-53.1 ms step. Inside each block the per-head loop slices q/k/v at lane
-offsets hd*h (hd=24 — every slice is an unaligned-lane relayout) and runs nh
-separate batched dots; nh reaches 32 at stage 3. attn_impl="batched" moves
-heads onto the dot_general batch dim: one relayout per q/k/v + two flat
-batched dots. Interpret-mode parity vs exact: bitwise 0.0 (f32).
-
-Also in both variants: the attention q-scale is now folded into the qkv
-weight/bias columns (exact at the f32 param level) — the in-kernel per-head
-(N, hd) multiply is gone.
+r4h found the original merge branch Mosaic-illegal (strided 6-D views +
+lane-concat -> "offset mismatch on non-concat dimension"); the rewrite
+(probe_merge_ops2.py: lane-pad each token row to Cp=ceil(C/128)*128, w-pair
+merge via aligned (R,Cp)->(R/2,2Cp) reshape, h-parity via W//2-row block
+mid-index, cross-piece LN with explicit moments, per-piece reduction dots)
+compiles and runs on-chip. r4g's device profile attributed ~3.5 ms/batch of
+XLA strided-slice copies to the three PatchMerging ops — this measures how
+much the fold recovers, and whether exp2 softmax stacks with it
+(r4h: exp2 53.55 vs exact 53.77/53.85 ms — borderline).
 """
 
 import sys
@@ -51,7 +50,19 @@ def main():
                              jnp.float32) * 0.1
     jax.block_until_ready(base)
 
-    def make_step(impl, merge_fold=False):
+    # one-shot on-chip parity: merge_fold vs the flax PatchMerging path
+    one = jax.jit(lambda v, w, s: htsat_fused_forward_from_wav(
+        model, v, w, wav_scale=s, split3=True,
+        merge_fold=True)["multi_accdoa"])
+    two = jax.jit(lambda v, w, s: htsat_fused_forward_from_wav(
+        model, v, w, wav_scale=s, split3=True)["multi_accdoa"])
+    a = np.asarray(one(variables, base[:8], jnp.float32(1.01)))
+    b = np.asarray(two(variables, base[:8], jnp.float32(1.01)))
+    print(f"merge_fold-vs-flax-merge on-chip max dev: "
+          f"{np.abs(a - b).max():.2e} (scale {np.abs(b).max():.3f})",
+          flush=True)
+
+    def make_step(impl, merge_fold):
         @jax.jit
         def step(v, w, k):
             def body(i, acc):
@@ -62,27 +73,8 @@ def main():
             return jax.lax.fori_loop(0, K, body, jnp.float32(0))
         return step
 
-    # one-shot on-chip parity (single batch, no harness). batched is
-    # guarded: Mosaic rejects its 4-D head reshape on this toolchain
-    # ("infer-vector-layout: unsupported shape cast",
-    # (8192,96)->(128,64,4,24)) — interpret-mode CPU parity can't see that.
-    two = jax.jit(lambda v, w, s: htsat_fused_forward_from_wav(
-        model, v, w, wav_scale=s, split3=True,
-        attn_impl="exact")["multi_accdoa"])
-    b = np.asarray(two(variables, base[:8], jnp.float32(1.01)))
-    try:
-        one = jax.jit(lambda v, w, s: htsat_fused_forward_from_wav(
-            model, v, w, wav_scale=s, split3=True,
-            attn_impl="batched")["multi_accdoa"])
-        a = np.asarray(one(variables, base[:8], jnp.float32(1.01)))
-        print(f"batched-vs-exact on-chip max dev: {np.abs(a - b).max():.2e} "
-              f"(scale {np.abs(b).max():.3f})", flush=True)
-    except Exception as e:  # noqa: BLE001 — record and move on
-        print(f"[batched] UNSUPPORTED on this backend: "
-              f"{str(e).splitlines()[0][:160]}", flush=True)
-
-    variants = [("exact", False), ("exp2", False),
-                ("exact", True), ("exact", False)]
+    variants = [("exact", False), ("exact", True), ("exp2", True),
+                ("exact", False)]
     for impl, mf in variants:
         tag = impl + ("+merge_fold" if mf else "")
         step = make_step(impl, mf)
