@@ -46,7 +46,7 @@ def _fused_stage(enc, i: int, x: jnp.ndarray, compute_dtype, interpret,
 def einv2_htsat_fused_forward(model, variables, x: jnp.ndarray,
                               compute_dtype: Dtype = jnp.bfloat16,
                               interpret: bool = False,
-                              merge_fold: bool = False) -> Dict[str, jnp.ndarray]:
+                              merge_fold: bool = True) -> Dict[str, jnp.ndarray]:
     """Eval-mode forward equal to ``model.apply(variables, x, train=False)``
     for models.einv2_heads.HTSAT."""
 

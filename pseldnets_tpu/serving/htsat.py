@@ -55,10 +55,10 @@ def _dense_p(d: Dict) -> Dict:
 
 def htsat_fused_forward(model: "heads.HTSAT", variables, x: jnp.ndarray,
                         compute_dtype: Dtype = jnp.bfloat16,
-                        attn_impl: str = "exact",
+                        attn_impl: str = "exp2",
                         interpret: bool = False,
                         pre_normalized: bool = False,
-                        merge_fold: bool = False) -> Dict[str, jnp.ndarray]:
+                        merge_fold: bool = True) -> Dict[str, jnp.ndarray]:
     """Eval-mode forward equal to ``model.apply(variables, x, train=False)``.
 
     ``merge_fold``: run each stage's PatchMerging inside the stage's last
@@ -220,9 +220,9 @@ def htsat_fused_forward_from_wav(model: "heads.HTSAT", variables,
                                  wav: jnp.ndarray,
                                  compute_dtype: Dtype = jnp.bfloat16,
                                  wav_scale=None,
-                                 attn_impl: str = "exact",
+                                 attn_impl: str = "exp2",
                                  interpret: bool = False,
-                                 merge_fold: bool = False,
+                                 merge_fold: bool = True,
                                  **frontend_kwargs) -> Dict[str, jnp.ndarray]:
     """Full serving step from the FOA waveform: frontend + model, with the
     eval ScalarBN, the bf16 cast and the reshape_wav2img frame pad all folded

@@ -50,8 +50,8 @@ def main():
         model, v, f, merge_fold=True)["doa"])
     two = jax.jit(lambda v, f: einv2_htsat_fused_forward(
         model, v, f, merge_fold=False)["doa"])
-    a = np.asarray(one(variables, feats[:4]))
-    b = np.asarray(two(variables, feats[:4]))
+    a = np.asarray(one(variables, feats[:4]), np.float32)
+    b = np.asarray(two(variables, feats[:4]), np.float32)
     print(f"merge_fold-vs-flax-merge on-chip max dev: {np.abs(a - b).max():.2e}"
           f" (scale {np.abs(b).max():.3f})", flush=True)
 
