@@ -195,8 +195,27 @@ def main(argv=None):
     names = argv or list(MODES)
     from bench import _wait_for_backend
     _wait_for_backend()  # ride out transient relay outages (see bench.py)
+    failed = []
     for name in names:
-        MODES[name]()
+        # the relay's compile helper occasionally dies with SIGKILL on the
+        # deep ViT-stack compiles (observed round 3 on passt_maccdoa even
+        # under the fori harness) — retry once, then keep benching the
+        # remaining modes instead of losing the whole run
+        for attempt in (1, 2):
+            try:
+                MODES[name]()
+                break
+            except Exception as e:  # noqa: BLE001
+                msg = str(e).splitlines()[0][:160]
+                print(f"# {name} attempt {attempt} failed: {msg}",
+                      file=sys.stderr, flush=True)
+        else:
+            failed.append(name)
+    if failed:
+        print(f"# FAILED modes: {','.join(failed)} (rerun: "
+              f"python bench_all.py {' '.join(failed)})",
+              file=sys.stderr, flush=True)
+        sys.exit(1)
 
 
 if __name__ == "__main__":
