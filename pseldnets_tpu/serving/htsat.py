@@ -58,7 +58,8 @@ def htsat_fused_forward(model: "heads.HTSAT", variables, x: jnp.ndarray,
                         attn_impl: str = "exp2",
                         interpret: bool = False,
                         pre_normalized: bool = False,
-                        merge_fold: bool = True) -> Dict[str, jnp.ndarray]:
+                        merge_fold: bool = True,
+                        patch_embed: str = "einsum") -> Dict[str, jnp.ndarray]:
     """Eval-mode forward equal to ``model.apply(variables, x, train=False)``.
 
     ``merge_fold``: run each stage's PatchMerging inside the stage's last
@@ -97,22 +98,46 @@ def htsat_fused_forward(model: "heads.HTSAT", variables, x: jnp.ndarray,
             x = jnp.concatenate([x[: B // 2, :, :-1], x[B // 2:, :, :-1]],
                                 axis=2)
         x = _scalar_bn(x, p["scalar"], stats["scalar"]).astype(compute_dtype)
-    x = _reshape_wav2img(x, spec_size, freq_ratio)
 
-    # patch embed: conv 4x4/4 + LN (models.common.PatchEmbed)
     pe = p["encoder"]["patch_embed"]
-    x = jnp.transpose(x, (0, 2, 3, 1))
     kern = jnp.asarray(_dense_p(pe["proj"])["kernel"], compute_dtype)
     patch_size = kw.get("patch_size", 4)
     ph = (patch_size - patch_stride[0]) // 2
     pw = (patch_size - patch_stride[1]) // 2
-    x = jax.lax.conv_general_dilated(
-        x, kern, window_strides=patch_stride, padding=((ph, ph), (pw, pw)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)
-    x = (x + _dense_p(pe["proj"])["bias"]).astype(compute_dtype)
-    Bp, Hg, Wg, E = x.shape
-    x = x.reshape(Bp, Hg * Wg, E)
+    target_T = spec_size * freq_ratio
+    if patch_embed == "einsum" and ph == pw == 0 and patch_size == 4:
+        # reshape_wav2img + 4x4/4 conv as ONE row-major reshape + einsum:
+        # wav2img maps (t, f) -> image (H=g*F+f, W=t'') with t = g*(T/fr)+t'';
+        # patch row hp = g*(F/4)+f//4, dh = f%4, col wp = t''//4, dw = t''%4,
+        # so splitting the trailing (T, F) axes in place yields every patch
+        # index without any transpose. The conv formulation costs ~2.3 ms of
+        # layout copies + f32 converts at B=128 (r5a/r5b profiles: the wav2img
+        # transpose copy, the conv's f32 output relayout, the bias+cast pass);
+        # the einsum lowers to one relayout + one MXU dot. Token order equals
+        # the conv path's (row-major (g, fp, tp)) exactly.
+        Bc, Cc, Tcur, Fc = x.shape  # five_sec concat above changes B and T
+        if Tcur < target_T:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, target_T - Tcur), (0, 0)))
+        fr = freq_ratio
+        tg = target_T // fr
+        sh, sw = patch_stride[0], patch_stride[1]
+        x7 = x.reshape(Bc, Cc, fr, tg // sw, sw, Fc // sh, sh)
+        tok = jnp.einsum("bcgtufv,vuce->bgfte", x7, kern,
+                         preferred_element_type=jnp.float32)
+        tok = (tok + _dense_p(pe["proj"])["bias"]).astype(compute_dtype)
+        Hg, Wg, E = spec_size // sh, spec_size // sw, tok.shape[-1]
+        x = tok.reshape(Bc, Hg * Wg, E)
+    else:
+        x = _reshape_wav2img(x, spec_size, freq_ratio)
+        # patch embed: conv 4x4/4 + LN (models.common.PatchEmbed)
+        x = jnp.transpose(x, (0, 2, 3, 1))
+        x = jax.lax.conv_general_dilated(
+            x, kern, window_strides=patch_stride, padding=((ph, ph), (pw, pw)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        x = (x + _dense_p(pe["proj"])["bias"]).astype(compute_dtype)
+        Bp, Hg, Wg, E = x.shape
+        x = x.reshape(Bp, Hg * Wg, E)
     x = _ln(x, pe["norm"])
 
     for i in range(num_layers):
@@ -223,6 +248,7 @@ def htsat_fused_forward_from_wav(model: "heads.HTSAT", variables,
                                  attn_impl: str = "exp2",
                                  interpret: bool = False,
                                  merge_fold: bool = True,
+                                 patch_embed: str = "einsum",
                                  **frontend_kwargs) -> Dict[str, jnp.ndarray]:
     """Full serving step from the FOA waveform: frontend + model, with the
     eval ScalarBN, the bf16 cast and the reshape_wav2img frame pad all folded
@@ -242,4 +268,5 @@ def htsat_fused_forward_from_wav(model: "heads.HTSAT", variables,
     return htsat_fused_forward(model, variables, feats,
                                compute_dtype=compute_dtype,
                                attn_impl=attn_impl, interpret=interpret,
-                               pre_normalized=True, merge_fold=merge_fold)
+                               pre_normalized=True, merge_fold=merge_fold,
+                               patch_embed=patch_embed)
