@@ -152,11 +152,49 @@ def _block_kernel(x_ref, dp_ref, ln1s, ln1b, qkvw, qkvb, projw, projb,
     win = img.reshape(G, H // w, w, W // w, w, C)
     win = jnp.transpose(win, (0, 1, 3, 2, 4, 5)).reshape(G * nW * N, C)
 
-    qkv = jnp.dot(win, qkvw[:].astype(cd),
-                  preferred_element_type=jnp.float32) + qkvb[0]
-    qkv = qkv.astype(cd)
+    if attn_impl != "headdot":
+        qkv = jnp.dot(win, qkvw[:].astype(cd),
+                      preferred_element_type=jnp.float32) + qkvb[0]
+        qkv = qkv.astype(cd)
 
-    if attn_impl == "batched":
+    if attn_impl == "headdot":
+        # per-head DIRECT dots + proj folded into v (caller layouts:
+        # qkvw (2, nh, C, hd) q|k weights, qkvb (2, nh, 1, hd), projw
+        # (nh, C, C) = W_v_h @ W_proj_h, projb (1, C) = total folded bias).
+        # Rationale (r5a profile): the per-head lane slices of the (R, 3C)
+        # qkv buffer sit at hd*h offsets (hd=24) — every slice is a VPU
+        # relayout of an activation-sized array. Leading-axis indexing of
+        # per-head WEIGHTS is free, and the MXU pads dot N-dims to 128
+        # lanes anyway, so (C, hd) dots cost the same tiles as (C, 128);
+        # softmax rows sum to 1, so the v bias folds into one post-sum add.
+        # exp2 softmax semantics (caller folds log2(e) into scale/bias/mask).
+        acc = None
+        for hh in range(nh):
+            q = (jnp.dot(win, qkvw[0, hh].astype(cd),
+                         preferred_element_type=jnp.float32)
+                 + qkvb[0, hh]).astype(cd).reshape(G * nW, N, hd)
+            k = (jnp.dot(win, qkvw[1, hh].astype(cd),
+                         preferred_element_type=jnp.float32)
+                 + qkvb[1, hh]).astype(cd).reshape(G * nW, N, hd)
+            vp = jnp.dot(win, projw[hh].astype(cd),
+                         preferred_element_type=jnp.float32
+                         ).astype(cd).reshape(G * nW, N, C)
+            s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                                    preferred_element_type=jnp.float32)
+            s = s + bias_ref[hh][None]
+            if has_mask:
+                s = (s.reshape(G, nW, N, N)
+                     + mask_ref[:][None]).reshape(G * nW, N, N)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp2(s - m)
+            denom = jnp.sum(e, axis=-1, keepdims=True)
+            o = jax.lax.dot_general(e.astype(cd), vp,
+                                    (((2,), (1,)), ((0,), (0,))),
+                                    preferred_element_type=jnp.float32)
+            o = o / denom
+            acc = o if acc is None else acc + o
+        attn = (acc.reshape(G * nW * N, C) + projb[0]).astype(cd)
+    elif attn_impl == "batched":
         # heads ride the dot_general BATCH dim: one relayout per q/k/v and
         # two flat batched dots, instead of nh unaligned lane-slice chains
         # (q at lane offsets hd*h with hd=24 — every slice is a relayout;
@@ -208,8 +246,10 @@ def _block_kernel(x_ref, dp_ref, ln1s, ln1b, qkvw, qkvb, projw, projb,
             heads.append(o.reshape(G * nW * N, hd))
         attn = jnp.concatenate(heads, axis=-1).astype(cd)  # (G*nW*N, C)
 
-    attn = (jnp.dot(attn, projw[:].astype(cd),
-                    preferred_element_type=jnp.float32) + projb[0]).astype(cd)
+    if attn_impl != "headdot":  # headdot folded proj into the v weights
+        attn = (jnp.dot(attn, projw[:].astype(cd),
+                        preferred_element_type=jnp.float32)
+                + projb[0]).astype(cd)
 
     # window reverse + unshift + residual
     img2 = attn.reshape(G, H // w, W // w, w, w, C)
@@ -340,6 +380,13 @@ def swin_block_fused(x: jnp.ndarray, p: Dict, *, H: int, W: int, nh: int,
     N = w * w
     nW = (H // w) * (W // w)
 
+    if attn_impl == "auto":
+        # measured per-stage on v5e (scripts/perf_r5d_probe.py, B=128): the
+        # per-head-dot variant wins 1.14x at stage-0 shapes (nh=4: the qkv
+        # lane-slice relayouts dominate) and loses at nh>=8 (the folded
+        # per-head v weights multiply the proj MXU work by nh*hd/C)
+        attn_impl = "headdot" if nh <= 4 else "exp2"
+
     G = group or max(1, PAYLOAD_TOKEN_CHANNELS // (L * C))
     while B % G:
         G -= 1
@@ -357,7 +404,7 @@ def swin_block_fused(x: jnp.ndarray, p: Dict, *, H: int, W: int, nh: int,
     # the qkv weight AND bias — exact at the f32 param level, and the kernel
     # drops its per-head (N, hd) multiply
     scale = (C // nh) ** -0.5
-    if attn_impl == "exp2":
+    if attn_impl in ("exp2", "headdot"):
         scale = scale * math.log2(math.e)
     qs = jnp.concatenate([jnp.full((C,), scale, jnp.float32),
                           jnp.ones((2 * C,), jnp.float32)])
@@ -373,7 +420,7 @@ def swin_block_fused(x: jnp.ndarray, p: Dict, *, H: int, W: int, nh: int,
     else:
         mask = jnp.zeros((1, N, N), jnp.float32)
         has_mask = False
-    if attn_impl == "exp2":
+    if attn_impl in ("exp2", "headdot"):
         # pre-scale the additive logit terms by log2(e) to match the folded
         # q-scale (exp2(log2e*x) == exp(x) exactly in math; fp dev ~1 ulp)
         log2e = math.log2(math.e)
@@ -387,11 +434,35 @@ def swin_block_fused(x: jnp.ndarray, p: Dict, *, H: int, W: int, nh: int,
     if dp_masks is None:
         dp_masks = jnp.ones((B, 2), jnp.float32)
 
+    hd = C // nh
+    proj_w = jnp.asarray(proj_p["kernel"], jnp.float32)
+    if attn_impl == "headdot":
+        # per-head weight layouts (leading-axis indexing is free in-kernel;
+        # lane slicing the (R, 3C) qkv activation at hd*h offsets is not):
+        # q|k (2, nh, C, hd); v and proj folded: (nh, C, C); total folded
+        # bias = projb + sum_h bv_h @ proj_h (softmax rows sum to 1, so the
+        # v bias passes through attention unchanged and adds once post-sum)
+        wq3 = qkv_w[:, :C].reshape(C, nh, hd).transpose(1, 0, 2)
+        wk3 = qkv_w[:, C:2 * C].reshape(C, nh, hd).transpose(1, 0, 2)
+        bq3 = qkv_b[:C].reshape(nh, 1, hd)
+        bk3 = qkv_b[C:2 * C].reshape(nh, 1, hd)
+        qkv_b3 = jnp.stack([bq3, bk3])                     # (2, nh, 1, hd)
+        wv3 = qkv_w[:, 2 * C:].reshape(C, nh, hd).transpose(1, 0, 2)
+        bv3 = qkv_b[2 * C:].reshape(nh, hd)
+        qkv_w = jnp.stack([wq3, wk3])                      # (2, nh, C, hd)
+        pr3 = proj_w.reshape(nh, hd, C)
+        proj_w = jnp.einsum("ncd,nde->nce", wv3, pr3)      # (nh, C, C)
+        proj_b = (jnp.einsum("nd,nde->e", bv3, pr3)
+                  + jnp.asarray(proj_p["bias"], jnp.float32)).reshape(1, C)
+    else:
+        qkv_b3 = qkv_b.reshape(1, -1)
+        proj_b = v1(proj_p["bias"])
+
     args = [
         x, dp_masks,
         v1(p["norm1"]["scale"]), v1(p["norm1"]["bias"]),
-        qkv_w, qkv_b.reshape(1, -1),
-        jnp.asarray(proj_p["kernel"], jnp.float32), v1(proj_p["bias"]),
+        qkv_w, qkv_b3,
+        proj_w, proj_b,
         v1(p["norm2"]["scale"]), v1(p["norm2"]["bias"]),
         jnp.asarray(fc1_p["kernel"], jnp.float32), v1(fc1_p["bias"]),
         jnp.asarray(fc2_p["kernel"], jnp.float32), v1(fc2_p["bias"]),
@@ -400,12 +471,17 @@ def swin_block_fused(x: jnp.ndarray, p: Dict, *, H: int, W: int, nh: int,
 
     const = lambda *shape: pl.BlockSpec(shape, lambda b: (0,) * len(shape),
                                         memory_space=pltpu.VMEM)
+    if attn_impl == "headdot":
+        qkv_specs = [const(2, nh, C, hd), const(2, nh, 1, hd),
+                     const(nh, C, C), const(1, C)]
+    else:
+        qkv_specs = [const(C, 3 * C), const(1, 3 * C),
+                     const(C, C), const(1, C)]
     in_specs = [
         pl.BlockSpec((G, L, C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((B, 2), lambda b: (0, 0), memory_space=pltpu.SMEM),
         const(1, C), const(1, C),
-        const(C, 3 * C), const(1, 3 * C),
-        const(C, C), const(1, C),
+        *qkv_specs,
         const(1, C), const(1, C),
         const(C, hidden), const(1, hidden),
         const(hidden, C), const(1, C),

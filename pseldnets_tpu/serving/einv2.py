@@ -35,6 +35,7 @@ def _fused_stage(enc, i: int, x: jnp.ndarray, compute_dtype, interpret,
         fold = merge_fold and has_merge and j == enc.depths[i] - 1
         x = swin_block_fused(x, pstage[f"blocks_{j}"], H=Hi, W=Wi,
                              nh=enc.num_heads[i], window=w_i, shift=shift,
+                             attn_impl="auto",
                              compute_dtype=compute_dtype, interpret=interpret,
                              merge_params=pstage["downsample"] if fold
                              else None)

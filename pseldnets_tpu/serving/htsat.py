@@ -55,7 +55,7 @@ def _dense_p(d: Dict) -> Dict:
 
 def htsat_fused_forward(model: "heads.HTSAT", variables, x: jnp.ndarray,
                         compute_dtype: Dtype = jnp.bfloat16,
-                        attn_impl: str = "exp2",
+                        attn_impl: str = "auto",
                         interpret: bool = False,
                         pre_normalized: bool = False,
                         merge_fold: bool = True,
@@ -245,7 +245,7 @@ def htsat_fused_forward_from_wav(model: "heads.HTSAT", variables,
                                  wav: jnp.ndarray,
                                  compute_dtype: Dtype = jnp.bfloat16,
                                  wav_scale=None,
-                                 attn_impl: str = "exp2",
+                                 attn_impl: str = "auto",
                                  interpret: bool = False,
                                  merge_fold: bool = True,
                                  patch_embed: str = "einsum",

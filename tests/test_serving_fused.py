@@ -52,6 +52,15 @@ def test_swin_block_kernel_parity(rng):
                                            attn_impl="batched",
                                            interpret=True))
         assert np.abs(got3 - got).max() == 0.0
+        # per-head direct dots + proj folded into v (serving default for
+        # nh<=4 stages via attn_impl="auto"; 1.14x at stage-0 production
+        # shapes, scripts/perf_r5d_probe.py) — same math re-associated
+        got4 = np.asarray(swin_block_fused(x, vs["params"], H=H, W=W, nh=nh,
+                                           window=w, shift=shift,
+                                           compute_dtype=jnp.float32,
+                                           attn_impl="headdot",
+                                           interpret=True))
+        assert np.abs(got4 - ref).max() < 5e-5
 
 
 def test_htsat_fused_forward_parity(rng):
