@@ -70,8 +70,17 @@ _ERF_POLY = (1.1274634720360315, -0.37247318975773086, 0.10760827076380255,
              -1.08585897381995e-06, 1.944008265638895e-08)
 
 
+# DEBUG-ONLY ablation set, consulted at trace time by perf probes (e.g.
+# scripts/perf_r5f_probe.py) to bucket in-kernel VPU cost: members of
+# {"gelu", "ln", "softmax"} null the corresponding computation (WRONG
+# outputs — never set outside a probe).
+_ABLATE: set = set()
+
+
 def _gelu_poly(x: jnp.ndarray) -> jnp.ndarray:
     """bf16-accuracy GELU: clamped odd polynomial erf, no exp/divide."""
+    if "gelu" in _ABLATE:
+        return x
     xf = x.astype(jnp.float32)
     u = jnp.clip(xf * np.float32(1 / np.sqrt(2)), -3.2, 3.2)
     u2 = u * u
@@ -83,6 +92,8 @@ def _gelu_poly(x: jnp.ndarray) -> jnp.ndarray:
 
 def _ln(xf: jnp.ndarray, scale, bias, fast: bool = False,
         eps: float = 1e-5) -> jnp.ndarray:
+    if "ln" in _ABLATE:
+        return xf * scale + bias
     m = jnp.mean(xf, axis=-1, keepdims=True)
     if fast:
         # single-pass E[x^2]-m^2 (bf16 path only: the ~1e-7 f32 cancellation
@@ -103,9 +114,21 @@ def _mlp_chunks(total_rows: int, min_rows: int = 512) -> int:
     return 1
 
 
+def _exp2_softmax(s: jnp.ndarray):
+    """Unnormalized exp2 softmax: returns (e, denom) so the divide can ride
+    the smaller post-PV rows (hd lanes instead of N)."""
+    if "softmax" in _ABLATE:
+        return s, jnp.ones_like(s[..., :1])
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp2(s - m)
+    return e, jnp.sum(e, axis=-1, keepdims=True)
+
+
 def _softmax(s: jnp.ndarray, fast: bool = False) -> jnp.ndarray:
     """f32 softmax; fast=True uses the VPU's approximate reciprocal for the
     normalization (~1e-4 relative — under bf16 rounding) instead of a divide."""
+    if "softmax" in _ABLATE:
+        return s
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
     denom = jnp.sum(e, axis=-1, keepdims=True)
@@ -185,9 +208,7 @@ def _block_kernel(x_ref, dp_ref, ln1s, ln1b, qkvw, qkvb, projw, projb,
             if has_mask:
                 s = (s.reshape(G, nW, N, N)
                      + mask_ref[:][None]).reshape(G * nW, N, N)
-            m = jnp.max(s, axis=-1, keepdims=True)
-            e = jnp.exp2(s - m)
-            denom = jnp.sum(e, axis=-1, keepdims=True)
+            e, denom = _exp2_softmax(s)
             o = jax.lax.dot_general(e.astype(cd), vp,
                                     (((2,), (1,)), ((0,), (0,))),
                                     preferred_element_type=jnp.float32)
@@ -232,9 +253,7 @@ def _block_kernel(x_ref, dp_ref, ln1s, ln1b, qkvw, qkvb, projw, projb,
                 s = (s.reshape(G, nW, N, N)
                      + mask_ref[:][None]).reshape(G * nW, N, N)
             if attn_impl == "exp2":
-                m = jnp.max(s, axis=-1, keepdims=True)
-                e = jnp.exp2(s - m)
-                denom = jnp.sum(e, axis=-1, keepdims=True)  # f32, pre-cast
+                e, denom = _exp2_softmax(s)  # f32, pre-cast
                 o = jax.lax.dot_general(e.astype(cd), v,
                                         (((2,), (1,)), ((0,), (0,))),
                                         preferred_element_type=jnp.float32)
@@ -354,7 +373,7 @@ def _rel_bias(table: jnp.ndarray, w: int, nh: int) -> jnp.ndarray:
 def swin_block_fused(x: jnp.ndarray, p: Dict, *, H: int, W: int, nh: int,
                      window: int, shift: int, compute_dtype=jnp.bfloat16,
                      group: int = 0, dp_masks=None, attn_impl: str = "exact",
-                     merge_params: Dict = None,
+                     merge_params: Dict = None, vmem_limit_mb: int = 64,
                      interpret: bool = False) -> jnp.ndarray:
     """x (B, H*W, C) + the block's flax param subtree -> (B, H*W, C).
 
@@ -526,8 +545,9 @@ def swin_block_fused(x: jnp.ndarray, p: Dict, *, H: int, W: int, nh: int,
         out_shape=out_shape,
         # the big stage-0 tile (4096 tokens) peaks ~21 MB of live VMEM —
         # above XLA's conservative 16 MB scoped default, well under the
-        # chip's 128 MB
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        # chip's 128 MB; larger groups need a higher cap (vmem_limit_mb)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit_mb * 1024 * 1024),
         interpret=interpret,
     )(*args)
 

@@ -105,7 +105,24 @@ def htsat_fused_forward(model: "heads.HTSAT", variables, x: jnp.ndarray,
     ph = (patch_size - patch_stride[0]) // 2
     pw = (patch_size - patch_stride[1]) // 2
     target_T = spec_size * freq_ratio
-    if patch_embed == "einsum" and ph == pw == 0 and patch_size == 4:
+    if patch_embed == "kernel" and ph == pw == 0 and patch_size == 4:
+        # one Pallas kernel: wav2img + conv + bias + LN, each feature byte
+        # read once, each token byte written once (ops.pallas.patch_embed —
+        # the XLA conv/einsum forms both spend ~2 ms/batch in layout copies,
+        # r5a/r5c)
+        from ..ops.pallas.patch_embed import patch_embed_tokens
+
+        Bc, Cc, Tcur, Fc = x.shape  # five_sec concat above changes B and T
+        if Tcur < target_T:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, target_T - Tcur), (0, 0)))
+        x = patch_embed_tokens(
+            x, jnp.asarray(_dense_p(pe["proj"])["kernel"], jnp.float32),
+            _dense_p(pe["proj"])["bias"], pe["norm"]["scale"],
+            pe["norm"]["bias"], spec_size=spec_size, freq_ratio=freq_ratio,
+            patch_stride=patch_stride, compute_dtype=compute_dtype,
+            interpret=interpret)
+        Hg, Wg = spec_size // patch_stride[0], spec_size // patch_stride[1]
+    elif patch_embed == "einsum" and ph == pw == 0 and patch_size == 4:
         # reshape_wav2img + 4x4/4 conv as ONE row-major reshape + einsum:
         # wav2img maps (t, f) -> image (H=g*F+f, W=t'') with t = g*(T/fr)+t'';
         # patch row hp = g*(F/4)+f//4, dh = f%4, col wp = t''//4, dw = t''%4,
@@ -138,7 +155,8 @@ def htsat_fused_forward(model: "heads.HTSAT", variables, x: jnp.ndarray,
         x = (x + _dense_p(pe["proj"])["bias"]).astype(compute_dtype)
         Bp, Hg, Wg, E = x.shape
         x = x.reshape(Bp, Hg * Wg, E)
-    x = _ln(x, pe["norm"])
+    if patch_embed != "kernel":  # the kernel path runs its LN in-kernel
+        x = _ln(x, pe["norm"])
 
     for i in range(num_layers):
         Hi, Wi = Hg // (2 ** i), Wg // (2 ** i)

@@ -87,6 +87,12 @@ def test_htsat_patch_embed_einsum_equals_conv(rng):
         model, variables, x, compute_dtype=jnp.float32, interpret=True,
         patch_embed=pe)["multi_accdoa"]) for pe in ("einsum", "conv")]
     assert np.abs(outs[0] - outs[1]).max() < 5e-5
+    # the Pallas patch-embed kernel (documented on-chip loser, PERF.md r5e)
+    # stays parity-pinned
+    outk = np.asarray(htsat_fused_forward(
+        model, variables, x, compute_dtype=jnp.float32, interpret=True,
+        patch_embed="kernel")["multi_accdoa"])
+    assert np.abs(outk - outs[1]).max() < 5e-5
 
 
 def test_htsat_fused_forward_5s_trick(rng):
