@@ -142,7 +142,8 @@ def _softmax(s: jnp.ndarray, fast: bool = False) -> jnp.ndarray:
 def _block_kernel(x_ref, dp_ref, ln1s, ln1b, qkvw, qkvb, projw, projb,
                   ln2s, ln2b, fc1w, fc1b, fc2w, fc2b, bias_ref, mask_ref,
                   *rest, H, W, C, nh, w, shift, hidden, has_mask,
-                  has_dp, compute_dtype, attn_impl="exact", merge=False):
+                  has_dp, compute_dtype, attn_impl="exact", merge=False,
+                  pair=1):
     if merge:
         # PatchMerging folded into the stage's LAST block (eval serving):
         # the 2x2 neighbor concat + LN + 4C->2C reduction run on the tokens
@@ -155,6 +156,15 @@ def _block_kernel(x_ref, dp_ref, ln1s, ln1b, qkvw, qkvb, projw, projb,
     N = w * w
     nW = (H // w) * (W // w)
     hd = C // nh
+    # window pairing (pair=2): consecutive windows ride ONE scores/PV dot —
+    # (2N, 2N) scores fill a full 128-lane tile instead of half, and the
+    # tiny-batched-matmul count halves (r5h showed the per-window dots, not
+    # the partition transposes, are the stage-0 structural cost). The
+    # cross-window score blocks are killed by -1e5 baked into the caller's
+    # block-diagonal bias table: exp/exp2 underflow to exactly 0, so the
+    # result is bit-equal in math to the unpaired form.
+    NP = pair * N
+    nWp = nW // pair
     # the q-scale (and exp2's log2(e)) is folded into the qkv weight/bias by
     # the caller — no in-kernel q multiply
     cd = compute_dtype
@@ -169,11 +179,14 @@ def _block_kernel(x_ref, dp_ref, ln1s, ln1b, qkvw, qkvb, projw, projb,
 
     # LN1 + shift + window partition (windows of all G images batch together)
     h = _ln(x0.astype(jnp.float32), ln1s[0], ln1b[0], fast).astype(cd)
-    img = h.reshape(G, H, W, C)
-    if shift:
-        img = jnp.roll(img, shift=(-shift, -shift), axis=(1, 2))
-    win = img.reshape(G, H // w, w, W // w, w, C)
-    win = jnp.transpose(win, (0, 1, 3, 2, 4, 5)).reshape(G * nW * N, C)
+    if "winpart" in _ABLATE:  # probe-only: contiguous rows as fake windows
+        win = h.reshape(G * nW * N, C)
+    else:
+        img = h.reshape(G, H, W, C)
+        if shift:
+            img = jnp.roll(img, shift=(-shift, -shift), axis=(1, 2))
+        win = img.reshape(G, H // w, w, W // w, w, C)
+        win = jnp.transpose(win, (0, 1, 3, 2, 4, 5)).reshape(G * nW * N, C)
 
     if attn_impl != "headdot":
         qkv = jnp.dot(win, qkvw[:].astype(cd),
@@ -195,19 +208,19 @@ def _block_kernel(x_ref, dp_ref, ln1s, ln1b, qkvw, qkvb, projw, projb,
         for hh in range(nh):
             q = (jnp.dot(win, qkvw[0, hh].astype(cd),
                          preferred_element_type=jnp.float32)
-                 + qkvb[0, hh]).astype(cd).reshape(G * nW, N, hd)
+                 + qkvb[0, hh]).astype(cd).reshape(G * nWp, NP, hd)
             k = (jnp.dot(win, qkvw[1, hh].astype(cd),
                          preferred_element_type=jnp.float32)
-                 + qkvb[1, hh]).astype(cd).reshape(G * nW, N, hd)
+                 + qkvb[1, hh]).astype(cd).reshape(G * nWp, NP, hd)
             vp = jnp.dot(win, projw[hh].astype(cd),
                          preferred_element_type=jnp.float32
-                         ).astype(cd).reshape(G * nW, N, C)
+                         ).astype(cd).reshape(G * nWp, NP, C)
             s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
                                     preferred_element_type=jnp.float32)
             s = s + bias_ref[hh][None]
             if has_mask:
-                s = (s.reshape(G, nW, N, N)
-                     + mask_ref[:][None]).reshape(G * nW, N, N)
+                s = (s.reshape(G, nWp, NP, NP)
+                     + mask_ref[:][None]).reshape(G * nWp, NP, NP)
             e, denom = _exp2_softmax(s)
             o = jax.lax.dot_general(e.astype(cd), vp,
                                     (((2,), (1,)), ((0,), (0,))),
@@ -242,16 +255,17 @@ def _block_kernel(x_ref, dp_ref, ln1s, ln1b, qkvw, qkvb, projw, projb,
     else:
         heads = []
         for hh in range(nh):
-            q = qkv[:, hh * hd:(hh + 1) * hd].reshape(G * nW, N, hd)
-            k = qkv[:, C + hh * hd: C + (hh + 1) * hd].reshape(G * nW, N, hd)
+            q = qkv[:, hh * hd:(hh + 1) * hd].reshape(G * nWp, NP, hd)
+            k = qkv[:, C + hh * hd: C + (hh + 1) * hd].reshape(G * nWp,
+                                                               NP, hd)
             v = qkv[:, 2 * C + hh * hd: 2 * C + (hh + 1) * hd].reshape(
-                G * nW, N, hd)
+                G * nWp, NP, hd)
             s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
                                     preferred_element_type=jnp.float32)
             s = s + bias_ref[hh][None]
             if has_mask:
-                s = (s.reshape(G, nW, N, N)
-                     + mask_ref[:][None]).reshape(G * nW, N, N)
+                s = (s.reshape(G, nWp, NP, NP)
+                     + mask_ref[:][None]).reshape(G * nWp, NP, NP)
             if attn_impl == "exp2":
                 e, denom = _exp2_softmax(s)  # f32, pre-cast
                 o = jax.lax.dot_general(e.astype(cd), v,
@@ -259,7 +273,7 @@ def _block_kernel(x_ref, dp_ref, ln1s, ln1b, qkvw, qkvb, projw, projb,
                                         preferred_element_type=jnp.float32)
                 o = o / denom
             else:
-                p = _softmax(s, fast).astype(cd)  # (G*nW, N, N)
+                p = _softmax(s, fast).astype(cd)  # (G*nWp, NP, NP)
                 o = jax.lax.dot_general(p, v, (((2,), (1,)), ((0,), (0,))),
                                         preferred_element_type=jnp.float32)
             heads.append(o.reshape(G * nW * N, hd))
@@ -271,10 +285,13 @@ def _block_kernel(x_ref, dp_ref, ln1s, ln1b, qkvw, qkvb, projw, projb,
                 + projb[0]).astype(cd)
 
     # window reverse + unshift + residual
-    img2 = attn.reshape(G, H // w, W // w, w, w, C)
-    img2 = jnp.transpose(img2, (0, 1, 3, 2, 4, 5)).reshape(G, H, W, C)
-    if shift:
-        img2 = jnp.roll(img2, shift=(shift, shift), axis=(1, 2))
+    if "winpart" in _ABLATE:
+        img2 = attn.reshape(G, H, W, C)
+    else:
+        img2 = attn.reshape(G, H // w, W // w, w, w, C)
+        img2 = jnp.transpose(img2, (0, 1, 3, 2, 4, 5)).reshape(G, H, W, C)
+        if shift:
+            img2 = jnp.roll(img2, shift=(shift, shift), axis=(1, 2))
     # per-sample drop-path masks (1 at eval — path skipped entirely;
     # 0 or 1/keep at train, reference model_utilities.py:216-231). The full
     # (B, 2) mask array lives in SMEM, indexed by grid position; Mosaic only
@@ -374,6 +391,7 @@ def swin_block_fused(x: jnp.ndarray, p: Dict, *, H: int, W: int, nh: int,
                      window: int, shift: int, compute_dtype=jnp.bfloat16,
                      group: int = 0, dp_masks=None, attn_impl: str = "exact",
                      merge_params: Dict = None, vmem_limit_mb: int = 64,
+                     pair_windows=None,
                      interpret: bool = False) -> jnp.ndarray:
     """x (B, H*W, C) + the block's flax param subtree -> (B, H*W, C).
 
@@ -446,6 +464,29 @@ def swin_block_fused(x: jnp.ndarray, p: Dict, *, H: int, W: int, nh: int,
         bias = bias * log2e
         mask = mask * log2e
 
+    # window pairing: consecutive windows share one scores/PV dot — the
+    # (2N, 2N) scores fill a 128-lane tile and the tiny-dot count halves
+    # (r5h: the per-window dots are stage0's 3.9 ms structural cost, not the
+    # partition transposes). Cross-window blocks get -1e5 in the bias table:
+    # exp/exp2 underflow to exactly 0, so the math is unchanged.
+    if pair_windows is None:
+        pair_windows = (N <= 64 and nW % 2 == 0
+                        and attn_impl in ("exp2", "headdot", "exact"))
+    pair = 2 if pair_windows else 1
+    if pair == 2:
+        offb = jnp.full((nh, N, N), -1e5, jnp.float32)
+        bias = jnp.concatenate(
+            [jnp.concatenate([bias, offb], axis=2),
+             jnp.concatenate([offb, bias], axis=2)], axis=1)  # (nh, 2N, 2N)
+        if has_mask:
+            m2 = mask.reshape(nW // 2, 2, N, N)
+            z = jnp.zeros((nW // 2, N, N), jnp.float32)
+            mask = jnp.concatenate(
+                [jnp.concatenate([m2[:, 0], z], axis=2),
+                 jnp.concatenate([z, m2[:, 1]], axis=2)], axis=1)
+        else:
+            mask = jnp.zeros((1, 2 * N, 2 * N), jnp.float32)
+
     def v1(a):  # 1-D param -> (1, D) for 2-D VMEM layout
         return jnp.asarray(a, jnp.float32).reshape(1, -1)
 
@@ -504,7 +545,7 @@ def swin_block_fused(x: jnp.ndarray, p: Dict, *, H: int, W: int, nh: int,
         const(1, C), const(1, C),
         const(C, hidden), const(1, hidden),
         const(hidden, C), const(1, C),
-        const(nh, N, N), const(mask.shape[0], N, N),
+        const(*bias.shape), const(*mask.shape),
     ]
     merge = merge_params is not None
     if merge:
@@ -538,7 +579,7 @@ def swin_block_fused(x: jnp.ndarray, p: Dict, *, H: int, W: int, nh: int,
         partial(_block_kernel, H=H, W=W, C=C, nh=nh, w=w, shift=shift,
                 hidden=hidden, has_mask=has_mask, has_dp=has_dp,
                 compute_dtype=compute_dtype, attn_impl=attn_impl,
-                merge=merge),
+                merge=merge, pair=pair),
         grid=(B // G,),
         in_specs=in_specs,
         out_specs=out_spec,
