@@ -143,7 +143,7 @@ def _block_kernel(x_ref, dp_ref, ln1s, ln1b, qkvw, qkvb, projw, projb,
                   ln2s, ln2b, fc1w, fc1b, fc2w, fc2b, bias_ref, mask_ref,
                   *rest, H, W, C, nh, w, shift, hidden, has_mask,
                   has_dp, compute_dtype, attn_impl="exact", merge=False,
-                  pair=1):
+                  pair=1, hidden_cd=False):
     if merge:
         # PatchMerging folded into the stage's LAST block (eval serving):
         # the 2x2 neighbor concat + LN + 4C->2C reduction run on the tokens
@@ -309,9 +309,22 @@ def _block_kernel(x_ref, dp_ref, ln1s, ln1b, qkvw, qkvb, projw, projb,
 
     def mlp(yc):
         h2 = _ln(yc.astype(jnp.float32), ln2s[0], ln2b[0], fast).astype(cd)
-        f = jnp.dot(h2, fc1w[:].astype(cd),
-                    preferred_element_type=jnp.float32) + fc1b[0]
-        f = (_gelu_poly(f) if cd == jnp.bfloat16 else _gelu_exact(f)).astype(cd)
+        if hidden_cd:
+            # hidden activations stored in compute dtype: the f32->cd cast
+            # rides the matmul epilogue (Mosaic requires a 32-bit matmul
+            # ACC, so preferred_element_type must stay f32 — asking for a
+            # bf16 dot output fails verification: 'Expected matmul acc to
+            # be 32-bit'), bias-add and GELU run on cd pre-activations (one
+            # extra rounding vs the f32 form — under the serving band)
+            f = jnp.dot(h2, fc1w[:].astype(cd),
+                        preferred_element_type=jnp.float32).astype(cd)
+            f = f + fc1b[0].astype(cd)
+            f = _gelu_poly(f) if cd == jnp.bfloat16 else _gelu_exact(f)
+        else:
+            f = jnp.dot(h2, fc1w[:].astype(cd),
+                        preferred_element_type=jnp.float32) + fc1b[0]
+            f = (_gelu_poly(f) if cd == jnp.bfloat16
+                 else _gelu_exact(f)).astype(cd)
         return (jnp.dot(f, fc2w[:].astype(cd),
                         preferred_element_type=jnp.float32)
                 + fc2b[0]).astype(cd)
@@ -391,7 +404,7 @@ def swin_block_fused(x: jnp.ndarray, p: Dict, *, H: int, W: int, nh: int,
                      window: int, shift: int, compute_dtype=jnp.bfloat16,
                      group: int = 0, dp_masks=None, attn_impl: str = "exact",
                      merge_params: Dict = None, vmem_limit_mb: int = 64,
-                     pair_windows=None,
+                     pair_windows=None, hidden_cd: bool = False,
                      interpret: bool = False) -> jnp.ndarray:
     """x (B, H*W, C) + the block's flax param subtree -> (B, H*W, C).
 
@@ -579,7 +592,7 @@ def swin_block_fused(x: jnp.ndarray, p: Dict, *, H: int, W: int, nh: int,
         partial(_block_kernel, H=H, W=W, C=C, nh=nh, w=w, shift=shift,
                 hidden=hidden, has_mask=has_mask, has_dp=has_dp,
                 compute_dtype=compute_dtype, attn_impl=attn_impl,
-                merge=merge, pair=pair),
+                merge=merge, pair=pair, hidden_cd=hidden_cd),
         grid=(B // G,),
         in_specs=in_specs,
         out_specs=out_spec,
