@@ -143,7 +143,7 @@ def _block_kernel(x_ref, dp_ref, ln1s, ln1b, qkvw, qkvb, projw, projb,
                   ln2s, ln2b, fc1w, fc1b, fc2w, fc2b, bias_ref, mask_ref,
                   *rest, H, W, C, nh, w, shift, hidden, has_mask,
                   has_dp, compute_dtype, attn_impl="exact", merge=False,
-                  pair=1, hidden_cd=False):
+                  pair=1, hidden_cd=False, sum_pv=False):
     if merge:
         # PatchMerging folded into the stage's LAST block (eval serving):
         # the 2x2 neighbor concat + LN + 4C->2C reduction run on the tokens
@@ -254,19 +254,32 @@ def _block_kernel(x_ref, dp_ref, ln1s, ln1b, qkvw, qkvb, projw, projb,
         attn = attn.astype(cd)
     else:
         heads = []
+        hv = hd + 1 if sum_pv else hd  # v block width (+1 = ones column)
         for hh in range(nh):
             q = qkv[:, hh * hd:(hh + 1) * hd].reshape(G * nWp, NP, hd)
             k = qkv[:, C + hh * hd: C + (hh + 1) * hd].reshape(G * nWp,
                                                                NP, hd)
-            v = qkv[:, 2 * C + hh * hd: 2 * C + (hh + 1) * hd].reshape(
-                G * nWp, NP, hd)
+            v = qkv[:, 2 * C + hh * hv: 2 * C + hh * hv + hv].reshape(
+                G * nWp, NP, hv)
             s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
                                     preferred_element_type=jnp.float32)
             s = s + bias_ref[hh][None]
             if has_mask:
                 s = (s.reshape(G, nWp, NP, NP)
                      + mask_ref[:][None]).reshape(G * nWp, NP, NP)
-            if attn_impl == "exp2":
+            if attn_impl == "exp2" and sum_pv:
+                # denominator rides the PV dot: the caller appends a
+                # zero-weight/bias-1 column per head to the v section, so
+                # o[..., hd] = sum(e) — the cross-lane sum reduction
+                # disappears (and the denom matches the bf16 e the PV dot
+                # actually consumes)
+                m = jnp.max(s, axis=-1, keepdims=True)
+                e = jnp.exp2(s - m)
+                o = jax.lax.dot_general(e.astype(cd), v,
+                                        (((2,), (1,)), ((0,), (0,))),
+                                        preferred_element_type=jnp.float32)
+                o = o[..., :hd] / o[..., hd:]
+            elif attn_impl == "exp2":
                 e, denom = _exp2_softmax(s)  # f32, pre-cast
                 o = jax.lax.dot_general(e.astype(cd), v,
                                         (((2,), (1,)), ((0,), (0,))),
@@ -403,8 +416,9 @@ def _rel_bias(table: jnp.ndarray, w: int, nh: int) -> jnp.ndarray:
 def swin_block_fused(x: jnp.ndarray, p: Dict, *, H: int, W: int, nh: int,
                      window: int, shift: int, compute_dtype=jnp.bfloat16,
                      group: int = 0, dp_masks=None, attn_impl: str = "exact",
-                     merge_params: Dict = None, vmem_limit_mb: int = 64,
+                     merge_params: Dict = None, vmem_limit_mb: int = 80,
                      pair_windows=None, hidden_cd: bool = False,
+                     sum_pv=None,
                      interpret: bool = False) -> jnp.ndarray:
     """x (B, H*W, C) + the block's flax param subtree -> (B, H*W, C).
 
@@ -460,6 +474,24 @@ def swin_block_fused(x: jnp.ndarray, p: Dict, *, H: int, W: int, nh: int,
                           jnp.ones((2 * C,), jnp.float32)])
     qkv_w = jnp.asarray(qkv_p["kernel"], jnp.float32) * qs[None, :]
     qkv_b = jnp.asarray(qkv_p["bias"], jnp.float32) * qs
+    if sum_pv is None:
+        # measured win at every exp2 stage (scripts/perf_r5k_probe.py:
+        # stage1 4.043 -> 3.996, stage2 2.836 -> 2.663 ms/block @B=128)
+        sum_pv = True
+    sum_pv = bool(sum_pv) and attn_impl == "exp2"
+    if sum_pv:
+        # per-head zero-weight/bias-1 ones column in the v section: the PV
+        # dot then emits sum(e) in lane hd and the kernel's cross-lane sum
+        # reduction disappears (see the exp2 branch of _block_kernel)
+        hd_ = C // nh
+        wv = qkv_w[:, 2 * C:].reshape(C, nh, hd_)
+        bv = qkv_b[2 * C:].reshape(nh, hd_)
+        wv2 = jnp.concatenate([wv, jnp.zeros((C, nh, 1), jnp.float32)],
+                              axis=2)
+        bv2 = jnp.concatenate([bv, jnp.ones((nh, 1), jnp.float32)], axis=1)
+        qkv_w = jnp.concatenate(
+            [qkv_w[:, :2 * C], wv2.reshape(C, nh * (hd_ + 1))], axis=1)
+        qkv_b = jnp.concatenate([qkv_b[:2 * C], bv2.reshape(-1)])
 
     bias = _rel_bias(p["attn"]["relative_position_bias_table"], w, nh)
     if shift > 0:
@@ -548,7 +580,7 @@ def swin_block_fused(x: jnp.ndarray, p: Dict, *, H: int, W: int, nh: int,
         qkv_specs = [const(2, nh, C, hd), const(2, nh, 1, hd),
                      const(nh, C, C), const(1, C)]
     else:
-        qkv_specs = [const(C, 3 * C), const(1, 3 * C),
+        qkv_specs = [const(*qkv_w.shape), const(1, qkv_w.shape[1]),
                      const(C, C), const(1, C)]
     in_specs = [
         pl.BlockSpec((G, L, C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
@@ -592,7 +624,8 @@ def swin_block_fused(x: jnp.ndarray, p: Dict, *, H: int, W: int, nh: int,
         partial(_block_kernel, H=H, W=W, C=C, nh=nh, w=w, shift=shift,
                 hidden=hidden, has_mask=has_mask, has_dp=has_dp,
                 compute_dtype=compute_dtype, attn_impl=attn_impl,
-                merge=merge, pair=pair, hidden_cd=hidden_cd),
+                merge=merge, pair=pair, hidden_cd=hidden_cd,
+                sum_pv=sum_pv),
         grid=(B // G,),
         in_specs=in_specs,
         out_specs=out_spec,
