@@ -114,14 +114,20 @@ def _mlp_chunks(total_rows: int, min_rows: int = 512) -> int:
     return 1
 
 
-def _exp2_softmax(s: jnp.ndarray):
+def _exp2_softmax(s: jnp.ndarray, ecd=None):
     """Unnormalized exp2 softmax: returns (e, denom) so the divide can ride
-    the smaller post-PV rows (hd lanes instead of N)."""
+    the smaller post-PV rows (hd lanes instead of N). ``ecd`` (optional)
+    evaluates the exp2 at that dtype — the PV dot consumes e at the compute
+    dtype anyway, so exp2-at-bf16 trades one cast for a (possibly) cheaper
+    transcendental; the denom sum stays f32."""
     if "softmax" in _ABLATE:
         return s, jnp.ones_like(s[..., :1])
     m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp2(s - m)
-    return e, jnp.sum(e, axis=-1, keepdims=True)
+    d = s - m
+    if ecd is not None and ecd != s.dtype:
+        d = d.astype(ecd)
+    e = jnp.exp2(d)
+    return e, jnp.sum(e, axis=-1, keepdims=True, dtype=s.dtype)
 
 
 def _softmax(s: jnp.ndarray, fast: bool = False) -> jnp.ndarray:
@@ -143,7 +149,7 @@ def _block_kernel(x_ref, dp_ref, ln1s, ln1b, qkvw, qkvb, projw, projb,
                   ln2s, ln2b, fc1w, fc1b, fc2w, fc2b, bias_ref, mask_ref,
                   *rest, H, W, C, nh, w, shift, hidden, has_mask,
                   has_dp, compute_dtype, attn_impl="exact", merge=False,
-                  pair=1, hidden_cd=False, sum_pv=False):
+                  pair=1, hidden_cd=False, sum_pv=False, exp_bf16=False):
     if merge:
         # PatchMerging folded into the stage's LAST block (eval serving):
         # the 2x2 neighbor concat + LN + 4C->2C reduction run on the tokens
@@ -221,7 +227,7 @@ def _block_kernel(x_ref, dp_ref, ln1s, ln1b, qkvw, qkvb, projw, projb,
             if has_mask:
                 s = (s.reshape(G, nWp, NP, NP)
                      + mask_ref[:][None]).reshape(G * nWp, NP, NP)
-            e, denom = _exp2_softmax(s)
+            e, denom = _exp2_softmax(s, cd if exp_bf16 else None)
             o = jax.lax.dot_general(e.astype(cd), vp,
                                     (((2,), (1,)), ((0,), (0,))),
                                     preferred_element_type=jnp.float32)
@@ -274,13 +280,14 @@ def _block_kernel(x_ref, dp_ref, ln1s, ln1b, qkvw, qkvb, projw, projb,
                 # disappears (and the denom matches the bf16 e the PV dot
                 # actually consumes)
                 m = jnp.max(s, axis=-1, keepdims=True)
-                e = jnp.exp2(s - m)
+                d = s - m
+                e = jnp.exp2(d.astype(cd) if exp_bf16 else d)
                 o = jax.lax.dot_general(e.astype(cd), v,
                                         (((2,), (1,)), ((0,), (0,))),
                                         preferred_element_type=jnp.float32)
                 o = o[..., :hd] / o[..., hd:]
             elif attn_impl == "exp2":
-                e, denom = _exp2_softmax(s)  # f32, pre-cast
+                e, denom = _exp2_softmax(s, cd if exp_bf16 else None)
                 o = jax.lax.dot_general(e.astype(cd), v,
                                         (((2,), (1,)), ((0,), (0,))),
                                         preferred_element_type=jnp.float32)
@@ -418,7 +425,7 @@ def swin_block_fused(x: jnp.ndarray, p: Dict, *, H: int, W: int, nh: int,
                      group: int = 0, dp_masks=None, attn_impl: str = "exact",
                      merge_params: Dict = None, vmem_limit_mb: int = 80,
                      pair_windows=None, hidden_cd: bool = False,
-                     sum_pv=None,
+                     sum_pv=None, exp_bf16: bool = False,
                      interpret: bool = False) -> jnp.ndarray:
     """x (B, H*W, C) + the block's flax param subtree -> (B, H*W, C).
 
@@ -625,7 +632,7 @@ def swin_block_fused(x: jnp.ndarray, p: Dict, *, H: int, W: int, nh: int,
                 hidden=hidden, has_mask=has_mask, has_dp=has_dp,
                 compute_dtype=compute_dtype, attn_impl=attn_impl,
                 merge=merge, pair=pair, hidden_cd=hidden_cd,
-                sum_pv=sum_pv),
+                sum_pv=sum_pv, exp_bf16=exp_bf16),
         grid=(B // G,),
         in_specs=in_specs,
         out_specs=out_spec,
