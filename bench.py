@@ -131,7 +131,7 @@ def main():
 
     one_min_clips_per_sec = (B / dt) / 6.0
     print(json.dumps({
-        "metric": "1min_FOA_clips/sec/chip (pallas radix2-split3 pack+rsqrt lane-trim glue-folded frontend + fused-block HTSAT mACCDOA fwd with in-kernel PatchMerging, per-head-dot stage-0 attention + exp2 softmax, paired-window dots + in-dot softmax denominators, einsum patch-embed, bf16, B=128, fori K=64 batches/dispatch)",
+        "metric": "1min_FOA_clips/sec/chip (pallas radix2-split3 pack+rsqrt lane-trim glue-folded frontend + fused-block HTSAT mACCDOA fwd with in-kernel PatchMerging, per-head-dot stage-0 attention + no-max exp2 softmax, paired-window dots + in-dot softmax denominators, einsum patch-embed, bf16, B=128, fori K=64 batches/dispatch)",
         "value": round(one_min_clips_per_sec, 3),
         "unit": "clips/s",
         "vs_baseline": round(one_min_clips_per_sec / TARGET_CLIPS_PER_SEC, 4),

@@ -114,16 +114,27 @@ def _mlp_chunks(total_rows: int, min_rows: int = 512) -> int:
     return 1
 
 
-def _exp2_softmax(s: jnp.ndarray, ecd=None):
+def _exp2_softmax(s: jnp.ndarray, ecd=None, nomax: bool = False):
     """Unnormalized exp2 softmax: returns (e, denom) so the divide can ride
     the smaller post-PV rows (hd lanes instead of N). ``ecd`` (optional)
     evaluates the exp2 at that dtype — the PV dot consumes e at the compute
     dtype anyway, so exp2-at-bf16 trades one cast for a (possibly) cheaper
-    transcendental; the denom sum stays f32."""
+    transcendental; the denom sum stays f32.
+
+    ``nomax`` skips the row-max subtraction (one cross-lane reduce plus one
+    full elementwise pass over the (NP, NP) scores): e/denom is invariant to
+    the shift, exp2 only overflows past 2^127 (window-attention logits in
+    log2 units sit orders of magnitude below), and the -1e5 pairing/shift
+    masks underflow to exactly 0 with or without the shift. Eval-serving
+    only — a pathological checkpoint could still overflow, so the guarded
+    form stays the default for anything unvalidated."""
     if "softmax" in _ABLATE:
         return s, jnp.ones_like(s[..., :1])
-    m = jnp.max(s, axis=-1, keepdims=True)
-    d = s - m
+    if nomax:
+        d = s
+    else:
+        m = jnp.max(s, axis=-1, keepdims=True)
+        d = s - m
     if ecd is not None and ecd != s.dtype:
         d = d.astype(ecd)
     e = jnp.exp2(d)
@@ -149,7 +160,8 @@ def _block_kernel(x_ref, dp_ref, ln1s, ln1b, qkvw, qkvb, projw, projb,
                   ln2s, ln2b, fc1w, fc1b, fc2w, fc2b, bias_ref, mask_ref,
                   *rest, H, W, C, nh, w, shift, hidden, has_mask,
                   has_dp, compute_dtype, attn_impl="exact", merge=False,
-                  pair=1, hidden_cd=False, sum_pv=False, exp_bf16=False):
+                  pair=1, hidden_cd=False, sum_pv=False, exp_bf16=False,
+                  nomax=False):
     if merge:
         # PatchMerging folded into the stage's LAST block (eval serving):
         # the 2x2 neighbor concat + LN + 4C->2C reduction run on the tokens
@@ -227,7 +239,7 @@ def _block_kernel(x_ref, dp_ref, ln1s, ln1b, qkvw, qkvb, projw, projb,
             if has_mask:
                 s = (s.reshape(G, nWp, NP, NP)
                      + mask_ref[:][None]).reshape(G * nWp, NP, NP)
-            e, denom = _exp2_softmax(s, cd if exp_bf16 else None)
+            e, denom = _exp2_softmax(s, cd if exp_bf16 else None, nomax)
             o = jax.lax.dot_general(e.astype(cd), vp,
                                     (((2,), (1,)), ((0,), (0,))),
                                     preferred_element_type=jnp.float32)
@@ -279,15 +291,18 @@ def _block_kernel(x_ref, dp_ref, ln1s, ln1b, qkvw, qkvb, projw, projb,
                 # o[..., hd] = sum(e) — the cross-lane sum reduction
                 # disappears (and the denom matches the bf16 e the PV dot
                 # actually consumes)
-                m = jnp.max(s, axis=-1, keepdims=True)
-                d = s - m
+                if nomax:
+                    d = s
+                else:
+                    m = jnp.max(s, axis=-1, keepdims=True)
+                    d = s - m
                 e = jnp.exp2(d.astype(cd) if exp_bf16 else d)
                 o = jax.lax.dot_general(e.astype(cd), v,
                                         (((2,), (1,)), ((0,), (0,))),
                                         preferred_element_type=jnp.float32)
                 o = o[..., :hd] / o[..., hd:]
             elif attn_impl == "exp2":
-                e, denom = _exp2_softmax(s, cd if exp_bf16 else None)
+                e, denom = _exp2_softmax(s, cd if exp_bf16 else None, nomax)
                 o = jax.lax.dot_general(e.astype(cd), v,
                                         (((2,), (1,)), ((0,), (0,))),
                                         preferred_element_type=jnp.float32)
@@ -425,7 +440,7 @@ def swin_block_fused(x: jnp.ndarray, p: Dict, *, H: int, W: int, nh: int,
                      group: int = 0, dp_masks=None, attn_impl: str = "exact",
                      merge_params: Dict = None, vmem_limit_mb: int = 80,
                      pair_windows=None, hidden_cd: bool = False,
-                     sum_pv=None, exp_bf16: bool = False,
+                     sum_pv=None, exp_bf16: bool = False, nomax=None,
                      interpret: bool = False) -> jnp.ndarray:
     """x (B, H*W, C) + the block's flax param subtree -> (B, H*W, C).
 
@@ -486,6 +501,13 @@ def swin_block_fused(x: jnp.ndarray, p: Dict, *, H: int, W: int, nh: int,
         # stage1 4.043 -> 3.996, stage2 2.836 -> 2.663 ms/block @B=128)
         sum_pv = True
     sum_pv = bool(sum_pv) and attn_impl == "exp2"
+    if nomax is None:
+        # skipping the row-max subtraction is shift-invariant math (see
+        # _exp2_softmax docstring) and a measured win at every exp2 stage
+        # (scripts/perf_r6b_probe.py @B=128: stage1 4.249 -> 3.851, stage2
+        # 2.839 -> 2.281 ms/block; stage0 headdot 6.185 -> 6.159)
+        nomax = True
+    nomax = bool(nomax) and attn_impl in ("exp2", "headdot")
     if sum_pv:
         # per-head zero-weight/bias-1 ones column in the v section: the PV
         # dot then emits sum(e) in lane hd and the kernel's cross-lane sum
@@ -632,7 +654,7 @@ def swin_block_fused(x: jnp.ndarray, p: Dict, *, H: int, W: int, nh: int,
                 hidden=hidden, has_mask=has_mask, has_dp=has_dp,
                 compute_dtype=compute_dtype, attn_impl=attn_impl,
                 merge=merge, pair=pair, hidden_cd=hidden_cd,
-                sum_pv=sum_pv, exp_bf16=exp_bf16),
+                sum_pv=sum_pv, exp_bf16=exp_bf16, nomax=nomax),
         grid=(B // G,),
         in_specs=in_specs,
         out_specs=out_spec,
