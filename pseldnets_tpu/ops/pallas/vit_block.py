@@ -35,7 +35,8 @@ def _ln(xf, scale, bias, eps, fast=False):
 
 def _vit_kernel(x_ref, ln1s, ln1b, qkvw, qkvb, projw, projb,
                 ln2s, ln2b, fc1w, fc1b, fc2w, fc2b, out_ref, *,
-                N, C, nh, hidden, eps, compute_dtype):
+                N, C, nh, hidden, eps, compute_dtype, attn_impl="exact",
+                sum_pv=False, nomax=False):
     hd = C // nh
     scale = hd ** -0.5
     cd = compute_dtype
@@ -50,16 +51,37 @@ def _vit_kernel(x_ref, ln1s, ln1b, qkvw, qkvb, projw, projb,
     qkv = qkv.astype(cd)
 
     heads = []
+    hv = hd + 1 if sum_pv else hd  # v block width (+1 = ones column)
     for hh in range(nh):
         q = qkv[:, hh * hd:(hh + 1) * hd].reshape(G, N, hd)
         k = qkv[:, C + hh * hd: C + (hh + 1) * hd].reshape(G, N, hd)
-        v = qkv[:, 2 * C + hh * hd: 2 * C + (hh + 1) * hd].reshape(G, N, hd)
-        s = jax.lax.dot_general(q * jnp.asarray(scale, cd), k,
-                                (((2,), (2,)), ((0,), (0,))),
-                                preferred_element_type=jnp.float32)
-        p = _softmax(s, fast).astype(cd)  # (G, N, N)
-        o = jax.lax.dot_general(p, v, (((2,), (1,)), ((0,), (0,))),
-                                preferred_element_type=jnp.float32)
+        v = qkv[:, 2 * C + hh * hv: 2 * C + hh * hv + hv].reshape(G, N, hv)
+        if attn_impl == "exp2":
+            # caller folded scale * log2(e) into the q weight/bias columns
+            s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                                    preferred_element_type=jnp.float32)
+            if nomax:  # shift-invariant; see swin_block._exp2_softmax
+                d = s
+            else:
+                d = s - jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp2(d)
+            o = jax.lax.dot_general(e.astype(cd), v,
+                                    (((2,), (1,)), ((0,), (0,))),
+                                    preferred_element_type=jnp.float32)
+            if sum_pv:
+                # denominator rides the PV dot (lane hd = e @ ones): at
+                # PaSST's N~1000 the (N, N) divide pass this replaces is
+                # ~16x the post-PV (N, hd) one
+                o = o[..., :hd] / o[..., hd:]
+            else:
+                o = o / jnp.sum(e, axis=-1, keepdims=True, dtype=s.dtype)
+        else:
+            s = jax.lax.dot_general(q * jnp.asarray(scale, cd), k,
+                                    (((2,), (2,)), ((0,), (0,))),
+                                    preferred_element_type=jnp.float32)
+            p = _softmax(s, fast).astype(cd)  # (G, N, N)
+            o = jax.lax.dot_general(p, v, (((2,), (1,)), ((0,), (0,))),
+                                    preferred_element_type=jnp.float32)
         heads.append(o.reshape(G * N, hd))
     attn = jnp.concatenate(heads, axis=-1).astype(cd)
 
@@ -87,13 +109,23 @@ def _vit_kernel(x_ref, ln1s, ln1b, qkvw, qkvb, projw, projb,
 
 def vit_block_fused(x: jnp.ndarray, p: Dict, *, nh: int, eps: float = 1e-6,
                     compute_dtype=jnp.bfloat16, group: int = 0,
+                    attn_impl: str = "exact", sum_pv=None, nomax=None,
                     interpret: bool = False) -> jnp.ndarray:
     """x (B, N, C) + the block's flax param subtree -> (B, N, C).
 
     Equivalent to models.passt.Block in eval mode (no dropout / drop-path).
+
+    ``attn_impl="exp2"`` transplants the Swin kernel's measured softmax
+    wins (swin_block.py): the q-scale and log2(e) fold into the qkv params
+    (no in-kernel q multiply), ``sum_pv`` rides the denominator on the PV
+    dot via a zero-weight/bias-1 ones column per head, and ``nomax`` skips
+    the shift-invariant row-max subtraction — at PaSST's N~1000 the (N, N)
+    subtract/divide passes these remove dwarf Swin's NP=128 ones.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    import math
 
     B, N, C = x.shape
 
@@ -110,6 +142,35 @@ def vit_block_fused(x: jnp.ndarray, p: Dict, *, nh: int, eps: float = 1e-6,
     fc2_p = dense(p["mlp"]["fc2"])
     hidden = fc1_p["kernel"].shape[1]
 
+    if sum_pv is None:
+        sum_pv = True
+    sum_pv = bool(sum_pv) and attn_impl == "exp2"
+    if nomax is None:
+        nomax = True
+    nomax = bool(nomax) and attn_impl == "exp2"
+
+    qkv_w = jnp.asarray(qkv_p["kernel"], jnp.float32)
+    qkv_b = jnp.asarray(qkv_p["bias"], jnp.float32)
+    if attn_impl == "exp2":
+        # fold the q-scale and exp2's log2(e) into the q columns (exact at
+        # the f32 param level — same fold as swin_block_fused)
+        scale = (C // nh) ** -0.5 * math.log2(math.e)
+        qs = jnp.concatenate([jnp.full((C,), scale, jnp.float32),
+                              jnp.ones((2 * C,), jnp.float32)])
+        qkv_w = qkv_w * qs[None, :]
+        qkv_b = qkv_b * qs
+    if sum_pv:
+        hd_ = C // nh
+        wv = qkv_w[:, 2 * C:].reshape(C, nh, hd_)
+        bv = qkv_b[2 * C:].reshape(nh, hd_)
+        wv2 = jnp.concatenate([wv, jnp.zeros((C, nh, 1), jnp.float32)],
+                              axis=2)
+        bv2 = jnp.concatenate([bv, jnp.ones((nh, 1), jnp.float32)], axis=1)
+        qkv_w = jnp.concatenate(
+            [qkv_w[:, :2 * C], wv2.reshape(C, nh * (hd_ + 1))], axis=1)
+        qkv_b = jnp.concatenate([qkv_b[:2 * C], bv2.reshape(-1)])
+    qkv_cols = qkv_w.shape[1]
+
     # big weight matrices go to VMEM pre-cast to the compute dtype (flax
     # Dense with dtype=bf16 casts f32 params to bf16 anyway) — halves their
     # VMEM footprint; 1-D params stay f32 for the f32 LN/bias adds
@@ -121,7 +182,7 @@ def vit_block_fused(x: jnp.ndarray, p: Dict, *, nh: int, eps: float = 1e-6,
     args = [
         x,
         v1(p["norm1"]["scale"]), v1(p["norm1"]["bias"]),
-        jnp.asarray(qkv_p["kernel"], wd), v1(qkv_p["bias"]),
+        qkv_w.astype(wd), v1(qkv_b),
         jnp.asarray(proj_p["kernel"], wd), v1(proj_p["bias"]),
         v1(p["norm2"]["scale"]), v1(p["norm2"]["bias"]),
         jnp.asarray(fc1_p["kernel"], wd), v1(fc1_p["bias"]),
@@ -133,7 +194,7 @@ def vit_block_fused(x: jnp.ndarray, p: Dict, *, nh: int, eps: float = 1e-6,
     in_specs = [
         pl.BlockSpec((G, N, C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         const(1, C), const(1, C),
-        const(C, 3 * C), const(1, 3 * C),
+        const(C, qkv_cols), const(1, qkv_cols),
         const(C, C), const(1, C),
         const(1, C), const(1, C),
         const(C, hidden), const(1, hidden),
@@ -141,7 +202,8 @@ def vit_block_fused(x: jnp.ndarray, p: Dict, *, nh: int, eps: float = 1e-6,
     ]
     return pl.pallas_call(
         partial(_vit_kernel, N=N, C=C, nh=nh, hidden=hidden, eps=eps,
-                compute_dtype=compute_dtype),
+                compute_dtype=compute_dtype, attn_impl=attn_impl,
+                sum_pv=sum_pv, nomax=nomax),
         grid=(B // G,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((G, N, C), lambda b: (b, 0, 0),

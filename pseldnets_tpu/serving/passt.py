@@ -21,11 +21,16 @@ Dtype = Any
 def passt_fused_forward(model, variables, x: jnp.ndarray,
                         compute_dtype: Dtype = jnp.bfloat16,
                         interpret: bool = False,
+                        attn_impl: str = "exact",
                         pre_normalized: bool = False) -> Dict[str, jnp.ndarray]:
     """Eval-mode forward equal to ``model.apply(variables, x, train=False)``.
 
     ``pre_normalized``: ``x`` already carries the eval ScalarBN (folded into
-    the frontend kernel — see :func:`passt_fused_forward_from_wav`)."""
+    the frontend kernel — see :func:`passt_fused_forward_from_wav`).
+
+    ``attn_impl="exp2"`` uses the folded exp2 softmax with sum_pv
+    denominators and no row-max subtraction (the Swin kernel's measured
+    wins); "exact" keeps the guarded softmax."""
     kw = dict(model.encoder_kwargs)
     depth = kw.get("depth", 7)
     nh = kw.get("num_heads", 12)
@@ -38,6 +43,7 @@ def passt_fused_forward(model, variables, x: jnp.ndarray,
         for i in range(depth):
             h = vit_block_fused(h, pb[f"blocks_{i}"], nh=nh, eps=1e-6,
                                 compute_dtype=compute_dtype,
+                                attn_impl=attn_impl,
                                 interpret=interpret)
         fm, _ = mdl.encoder.forward_after(h, train=False)
         return {mdl.output_key: jnp.tanh(mdl.fc(fm))}
@@ -48,6 +54,7 @@ def passt_fused_forward(model, variables, x: jnp.ndarray,
 def passt_fused_forward_from_wav(model, variables, wav: jnp.ndarray,
                                  compute_dtype: Dtype = jnp.bfloat16,
                                  wav_scale=None, interpret: bool = False,
+                                 attn_impl: str = "exact",
                                  **frontend_kwargs) -> Dict[str, jnp.ndarray]:
     """FOA waveform -> PaSST logits with the eval ScalarBN + compute-dtype
     cast folded into the frontend kernel (serving.folded_wav_features);
@@ -60,4 +67,5 @@ def passt_fused_forward_from_wav(model, variables, wav: jnp.ndarray,
                                 **frontend_kwargs)
     return passt_fused_forward(model, variables, feats,
                                compute_dtype=compute_dtype,
-                               interpret=interpret, pre_normalized=True)
+                               interpret=interpret, attn_impl=attn_impl,
+                               pre_normalized=True)
