@@ -125,12 +125,21 @@ def _exp2_softmax(s: jnp.ndarray, ecd=None, nomax: bool = False):
     full elementwise pass over the (NP, NP) scores): e/denom is invariant to
     the shift, exp2 only overflows past 2^127 (window-attention logits in
     log2 units sit orders of magnitude below), and the -1e5 pairing/shift
-    masks underflow to exactly 0 with or without the shift. Eval-serving
-    only — a pathological checkpoint could still overflow, so the guarded
-    form stays the default for anything unvalidated."""
+    masks underflow to exactly 0 with or without the shift.
+
+    NOTE nomax is AUTO-ON for exp2/headdot serving (swin_block_fused's
+    nomax=None default) — a measured win on every validated checkpoint. The
+    overflow threshold is a raw attention logit > 127 in log2 units (~88
+    natural-log): past it exp2 -> inf and the row goes NaN via inf/inf,
+    where the guarded form is safe. Every shipped SELD checkpoint sits two
+    orders of magnitude below (max |logit| ~ O(10)); pass nomax=False from
+    the serving layer when deploying an unvalidated external checkpoint.
+    nomax is ignored when ``ecd`` (exp2-at-bf16) is set: casting UNSHIFTED
+    scores to bf16 quantizes d with step |d| * 2^-8 (~8% relative exp2
+    error at |d|~30), so the shifted form is forced there."""
     if "softmax" in _ABLATE:
         return s, jnp.ones_like(s[..., :1])
-    if nomax:
+    if nomax and ecd is None:
         d = s
     else:
         m = jnp.max(s, axis=-1, keepdims=True)
@@ -291,7 +300,9 @@ def _block_kernel(x_ref, dp_ref, ln1s, ln1b, qkvw, qkvb, projw, projb,
                 # o[..., hd] = sum(e) — the cross-lane sum reduction
                 # disappears (and the denom matches the bf16 e the PV dot
                 # actually consumes)
-                if nomax:
+                if nomax and not exp_bf16:
+                    # exp_bf16 forces the shift: bf16-quantizing UNSHIFTED
+                    # scores errs with step |d|*2^-8 (see _exp2_softmax)
                     d = s
                 else:
                     m = jnp.max(s, axis=-1, keepdims=True)

@@ -74,7 +74,11 @@ def _vit_kernel(x_ref, ln1s, ln1b, qkvw, qkvb, projw, projb,
                 # ~16x the post-PV (N, hd) one
                 o = o[..., :hd] / o[..., hd:]
             else:
-                o = o / jnp.sum(e, axis=-1, keepdims=True, dtype=s.dtype)
+                # sum the SAME bf16-cast e the PV dot consumes (f32 acc) —
+                # an f32-e denominator would leave rows renormalizing to
+                # slightly != 1 in bf16 (the mismatch sum_pv fixes by design)
+                o = o / jnp.sum(e.astype(cd), axis=-1, keepdims=True,
+                                dtype=s.dtype)
         else:
             s = jax.lax.dot_general(q * jnp.asarray(scale, cd), k,
                                     (((2,), (2,)), ((0,), (0,))),

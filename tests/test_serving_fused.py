@@ -155,6 +155,20 @@ def test_vit_block_kernel_parity(rng):
                                      compute_dtype=jnp.float32,
                                      interpret=True))
     assert np.abs(got - ref).max() < 2e-5, np.abs(got - ref).max()
+    # exp2 path: q-scale/log2e fold + per-head sum_pv ones-column splice +
+    # nomax — same math re-associated (guards the hv=hd+1 slicing and the
+    # wv2/bv2 concat, which would otherwise fail silently behind the flag)
+    got2 = np.asarray(vit_block_fused(x, vs["params"], nh=nh,
+                                      attn_impl="exp2",
+                                      compute_dtype=jnp.float32,
+                                      interpret=True))
+    assert np.abs(got2 - ref).max() < 5e-5, np.abs(got2 - ref).max()
+    # exp2 without sum_pv: post-PV divide by the bf16-consumed e's f32 sum
+    got3 = np.asarray(vit_block_fused(x, vs["params"], nh=nh,
+                                      attn_impl="exp2", sum_pv=False,
+                                      compute_dtype=jnp.float32,
+                                      interpret=True))
+    assert np.abs(got3 - ref).max() < 5e-5, np.abs(got3 - ref).max()
 
 
 def test_passt_fused_forward_parity(rng):
