@@ -245,19 +245,140 @@ class MlflowLogger:
             meta.write_text(txt.replace("status: 1", "status: 3"))
 
 
+class _FallbackMixin:
+    """Shared real-if-importable plumbing (the WandbLogger pattern): when the
+    backend package is missing, warn LOUDLY at startup and stream metrics to
+    <save_dir>/<name>_offline.jsonl instead of silently dropping them."""
+
+    def _fall_back(self, save_dir, backend: str):
+        path = Path(save_dir or ".") / f"{backend}_offline.jsonl"
+        logging.getLogger("pseldnets").warning(
+            "logger=%s requested but the %s package is NOT installed — no "
+            "%s dashboard for this run; metrics are streamed to %s instead",
+            backend, backend, backend, path)
+        self._fallback = JsonlLogger(path)
+
+    def log_metrics(self, metrics: Dict, step: int):
+        m = {self.prefix + k if self.prefix else k: v
+             for k, v in metrics.items() if isinstance(v, (int, float))}
+        if self._fallback is not None:
+            self._fallback.log_metrics(m, step)
+        else:
+            self._log_real(m, step)
+
+
+class NeptuneLogger(_FallbackMixin):
+    """Neptune tracking (reference configs/logger/neptune.yaml). Real
+    neptune run when the package is importable, loud JSONL fallback
+    otherwise."""
+
+    def __init__(self, api_key=None, project=None, name=None, prefix="",
+                 save_dir=".", **_):
+        self.prefix = prefix or ""
+        self._fallback = None
+        self._run = None
+        try:
+            import neptune
+        except ImportError:
+            self._fall_back(save_dir, "neptune")
+            return
+        self._run = neptune.init_run(project=project or None,
+                                     api_token=api_key or None,
+                                     name=name or None)
+
+    def _log_real(self, m: Dict, step: int):
+        for k, v in m.items():
+            self._run[k].append(v, step=step)
+
+    def close(self):
+        if self._run is not None:
+            self._run.stop()
+
+
+class CometLogger(_FallbackMixin):
+    """Comet tracking (reference configs/logger/comet.yaml). Real comet_ml
+    Experiment when importable (OfflineExperiment when offline=True), loud
+    JSONL fallback otherwise."""
+
+    def __init__(self, api_key=None, save_dir=".", project_name=None,
+                 experiment_name=None, experiment_key=None, offline=False,
+                 prefix="", **_):
+        self.prefix = prefix or ""
+        self._fallback = None
+        self._exp = None
+        try:
+            import comet_ml
+        except ImportError:
+            self._fall_back(save_dir, "comet")
+            return
+        if offline:
+            self._exp = comet_ml.OfflineExperiment(
+                project_name=project_name or None,
+                offline_directory=str(save_dir))
+        else:
+            self._exp = comet_ml.Experiment(
+                api_key=api_key or None, project_name=project_name or None)
+        if experiment_name:
+            self._exp.set_name(experiment_name)
+
+    def _log_real(self, m: Dict, step: int):
+        self._exp.log_metrics(m, step=step)
+
+    def close(self):
+        if self._exp is not None:
+            self._exp.end()
+
+
+class AimLogger(_FallbackMixin):
+    """Aim tracking (reference configs/logger/aim.yaml). Real aim.Run when
+    importable, loud JSONL fallback otherwise. The reference's per-split
+    metric prefixes are honored by passing keys through unchanged (our keys
+    already carry the train/ val/ test/ prefixes)."""
+
+    def __init__(self, repo=None, experiment=None, prefix="",
+                 system_tracking_interval=None, log_system_params=False,
+                 capture_terminal_logs=False, save_dir=".", **_):
+        self.prefix = prefix or ""
+        self._fallback = None
+        self._run = None
+        try:
+            from aim import Run
+        except ImportError:
+            self._fall_back(repo or save_dir, "aim")
+            return
+        self._run = Run(repo=str(repo) if repo else None,
+                        experiment=experiment or None,
+                        system_tracking_interval=system_tracking_interval,
+                        log_system_params=bool(log_system_params),
+                        capture_terminal_logs=bool(capture_terminal_logs))
+
+    def _log_real(self, m: Dict, step: int):
+        for k, v in m.items():
+            self._run.track(v, name=k, step=step)
+
+    def close(self):
+        if self._run is not None:
+            self._run.close()
+
+
 _LOGGER_TARGETS = {
     "lightning.pytorch.loggers.tensorboard.TensorBoardLogger": TensorBoardLogger,
     "lightning.pytorch.loggers.csv_logs.CSVLogger": CsvLogger,
     "lightning.pytorch.loggers.wandb.WandbLogger": WandbLogger,
     "lightning.pytorch.loggers.mlflow.MLFlowLogger": MlflowLogger,
+    "lightning.pytorch.loggers.neptune.NeptuneLogger": NeptuneLogger,
+    "lightning.pytorch.loggers.comet.CometLogger": CometLogger,
+    "aim.pytorch_lightning.AimLogger": AimLogger,
 }
 
 
 def instantiate_loggers(logger_cfg: Optional[Dict], output_dir: Path):
-    """Resolve reference-style logger configs. Unknown targets (neptune,
-    comet, aim — backends with no importable package in this image) warn
-    LOUDLY at startup instead of silently degrading; the JSONL stream is
-    always appended so no run ever loses metrics."""
+    """Resolve reference-style logger configs. Every reference logger target
+    (TB, CSV, wandb, mlflow, neptune, comet, aim) has a backend class; the
+    package-backed ones use the real package when importable and fall back
+    to a loud warning + per-backend JSONL stream when not. Truly unknown
+    targets warn LOUDLY at startup instead of silently degrading; the global
+    JSONL stream is always appended so no run ever loses metrics."""
     loggers = []
     for name, sub in (logger_cfg or {}).items():
         if not isinstance(sub, dict) or "_target_" not in sub:

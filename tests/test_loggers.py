@@ -57,7 +57,7 @@ def test_mlflow_filestore_layout(tmp_path):
 
 
 def test_unknown_logger_target_warns_loudly(tmp_path, caplog):
-    cfg = {"nep": {"_target_": "lightning.pytorch.loggers.neptune.NeptuneLogger",
+    cfg = {"xyz": {"_target_": "lightning.pytorch.loggers.made_up.XyzLogger",
                    "project": "x"}}
     with caplog.at_level(logging.WARNING, logger="pseldnets"):
         loggers = instantiate_loggers(cfg, tmp_path)
@@ -65,6 +65,39 @@ def test_unknown_logger_target_warns_loudly(tmp_path, caplog):
     # the JSONL stream is always appended so metrics are never lost
     loggers[-1].log_metrics({"a": 1.0}, 0)
     assert (tmp_path / "metrics_stream.jsonl").exists()
+
+
+@pytest.mark.parametrize("backend,cls_name,kwargs", [
+    ("neptune", "NeptuneLogger", {"project": "u/p", "prefix": "pre/"}),
+    ("comet", "CometLogger", {"project_name": "p", "offline": True,
+                              "prefix": "pre/"}),
+    ("aim", "AimLogger", {"experiment": "e", "prefix": "pre/"}),
+])
+def test_package_logger_real_or_loud_fallback(tmp_path, caplog, backend,
+                                              cls_name, kwargs):
+    """neptune/comet/aim mirror the wandb pattern: the REAL package when
+    importable, else a loud warning + <backend>_offline.jsonl stream."""
+    import importlib.util
+
+    from pseldnets_tpu.utils import utilities
+
+    cls = getattr(utilities, cls_name)
+    with caplog.at_level(logging.WARNING, logger="pseldnets"):
+        lg = cls(save_dir=str(tmp_path), repo=str(tmp_path), **kwargs)
+    installed = importlib.util.find_spec(
+        "comet_ml" if backend == "comet" else backend) is not None
+    if installed:
+        # real path: no fallback object, close() must not raise
+        assert lg._fallback is None
+        lg.log_metrics({"val/SELD_scr": 0.5}, step=3)
+        lg.close()
+        return
+    assert lg._fallback is not None
+    assert any(backend in r.message for r in caplog.records)
+    lg.log_metrics({"val/SELD_scr": 0.5, "skip": "str"}, step=3)
+    lg.close()
+    line = (tmp_path / f"{backend}_offline.jsonl").read_text().strip()
+    assert '"pre/val/SELD_scr": 0.5' in line and '"step": 3' in line
 
 
 def test_reference_logger_configs_compose_and_instantiate(tmp_path):
