@@ -446,9 +446,18 @@ class SELDTask:
     def _make_acs_step(self):
         """One-dispatch ACS chunk: rotate V variants into the batch dim,
         forward once at V*B, de-rotate and sum on device. The variant tables
-        ride as jit ARGS, so one compile serves every chunk; variant-major
-        flat ordering keeps the 5s-concat pairing and shard boundaries
-        aligned (B per device is even, so v*B offsets stay even)."""
+        ride as jit ARGS, so one compile serves every chunk.
+
+        Flat ordering is (half, variant, item): position i and i + V*B/2
+        carry the SAME variant and the item pair (b_j, b_{j + B/2}). That
+        matters because the HTSAT 5s-concat trick (models/heads.py:114-118)
+        concatenates batch halves in TIME and attention couples the halves —
+        the reference's per-variant forwards pair (v, b_j) with
+        (v, b_{j+B/2}) (components/model_module.py:272-284), and a
+        variant-major fold would instead pair (v_i, b_j) with (v_{i+V/2},
+        b_j), a numerically different composition (caught by
+        test_acs_batched.py's trick-active case). B is always even here:
+        eval_step pads to a multiple of 2*mesh.size."""
         core = self._eval_core
         key = "multi_accdoa" if self.method == "multi_accdoa" else "accdoa"
         tracks = 3 if key == "multi_accdoa" else 1
@@ -459,7 +468,8 @@ class SELDTask:
             B = batch_x.shape[0]
             xv = jnp.take(batch_x, in_perm.reshape(-1), axis=1)
             xv = xv.reshape(B, V, 4, -1) * in_sign[None, :, :, None]
-            xv = xv.transpose(1, 0, 2, 3).reshape(V * B, 4, -1)
+            xv = xv.reshape(2, B // 2, V, 4, xv.shape[-1])
+            xv = xv.transpose(0, 2, 1, 3, 4).reshape(V * B, 4, -1)
             if mesh.size > 1:
                 from jax.sharding import NamedSharding
                 from jax.sharding import PartitionSpec as P
@@ -468,7 +478,9 @@ class SELDTask:
                     xv, NamedSharding(mesh, P("data", None, None)))
             y = core(params, batch_stats, xv)[key]
             T = y.shape[1]
-            y = y.reshape(V, B, T, tracks, 3, -1)
+            y = y.reshape(2, V, B // 2, T, tracks, 3, -1)
+            y = y.transpose(1, 0, 2, 3, 4, 5, 6).reshape(
+                V, B, T, tracks, 3, -1)
             y = jnp.einsum("vts,vbmrsc->vbmrtc", out_mat, y)
             return y.sum(0).reshape(B, T, -1)
 

@@ -82,6 +82,25 @@ def test_acs_batched_matches_naive_loop(rng):
                                    err_msg=f"chunk={chunk}")
 
 
+def test_acs_batched_matches_naive_loop_5s_trick(rng):
+    """Trick-active shapes (output_frames == tgt//2): the HTSAT 5s-concat
+    trick couples batch halves through attention, so the fold order decides
+    WHICH items share a concatenated clip. The reference pairs (v, b_j) with
+    (v, b_{j+B/2}) inside each per-variant forward; the batched fold must
+    reproduce that pairing exactly (regression: the original variant-major
+    fold paired (v_i, b_j) with (v_{i+V/2}, b_j) instead)."""
+    task, state = _task("multi_accdoa")
+    # 2-second clips at the 4s-tgt config: output 20 == tgt 40 // 2 -> trick
+    batch_x = jnp.asarray(
+        rng.standard_normal((4, 4, 32000)).astype(np.float32) * 0.2)
+    want = np.asarray(_naive_acs(task, state, batch_x)["multi_accdoa"])
+    for chunk in (16, 4):
+        got = np.asarray(
+            task._acs_forward(state, batch_x, chunk=chunk)["multi_accdoa"])
+        np.testing.assert_allclose(got, want, atol=2e-5,
+                                   err_msg=f"chunk={chunk}")
+
+
 def test_acs_batched_sharded_mesh(rng):
     """ACS on a 2-device data mesh (exercises the with_sharding_constraint
     branch + variant-major shard alignment) must match the 1-device run."""
