@@ -385,6 +385,9 @@ def instantiate_loggers(logger_cfg: Optional[Dict], output_dir: Path):
             continue
         cls = _LOGGER_TARGETS.get(sub["_target_"])
         kwargs = {k: v for k, v in sub.items() if k != "_target_"}
+        # reference neptune/aim configs carry no save_dir — anchor their
+        # offline fallbacks to the run's output dir, not the process cwd
+        kwargs.setdefault("save_dir", str(output_dir))
         try:
             if cls is not None:
                 loggers.append(cls(**kwargs))
