@@ -114,9 +114,14 @@ def main():
             # the unfused extractor->forward split, on-chip parity 0.0
             # (scripts/perf_r4f_probe.py); CPU parity in
             # tests/test_serving_fused.py
+            # wav_scale defeats relay dedupe / loop hoisting; with
+            # pre_scale_head it touches ONLY the 512-sample reflect head
+            # (~0.4% of the multiply — the full-signal ride cost ~3%:
+            # 463.9 vs 479.9 clips/s, scripts/perf_r7a_probe.py), frames
+            # >= 3 bit-identical to production's unscaled prep
             out = htsat_fused_forward_from_wav(
                 model, variables, base, wav_scale=1.0 + 1e-4 * (k * K + i),
-                split3=True)
+                pre_scale_head=True, split3=True)
             return acc + out["multi_accdoa"].astype(jnp.float32).mean()
         return jax.lax.fori_loop(0, K, body, jnp.float32(0))
 

@@ -100,14 +100,15 @@ def bench_htsat_maccdoa():
     # params into the trace as constants and force a host materialization
     dt = _k_time(
         lambda k, w, v: htsat_fused_forward_from_wav(
-            model, v, w, wav_scale=1.0 + 1e-4 * k,
+            model, v, w, wav_scale=1.0 + 1e-4 * k, pre_scale_head=True,
             split3=True)["multi_accdoa"].astype(jnp.float32).mean(),
         (base, variables))
     _emit("htsat_maccdoa_infer (glue-folded pallas frontend + fused-block "
           "Swin, bf16)", dt, B, 10.0)
 
 
-def _serving_feats_bench(tag, overrides, fused_name, out_key, B=32, K=32):
+def _serving_feats_bench(tag, overrides, fused_name, out_key, B=32, K=32,
+                         **fused_kwargs):
     import jax
     import jax.numpy as jnp
 
@@ -122,8 +123,8 @@ def _serving_feats_bench(tag, overrides, fused_name, out_key, B=32, K=32):
             jax.random.PRNGKey(0), feats[:2])
     jax.block_until_ready(feats)
     dt = _k_time(
-        lambda k, f, v: fused_fn(model, v,
-                                 f * (1.0 + 1e-4 * k))[out_key].astype(
+        lambda k, f, v: fused_fn(model, v, f * (1.0 + 1e-4 * k),
+                                 **fused_kwargs)[out_key].astype(
                                      jnp.float32).mean(), (feats, variables),
         K=K)
     # feats cover 10 s clips (1001 frames @ ~100 fps)
@@ -134,11 +135,17 @@ def bench_passt_maccdoa():
     # round-2/3 history: the unrolled harness could only compile this mode
     # at K=2 (K>=4 SIGKILLed the relay compile helper), leaving a ~12 ms
     # relay-RTT bias in a ~33 ms signal; the fori harness compiles the body
-    # once, so K=32 runs fine and the number is RTT-clean
+    # once, so K=32 runs fine and the number is RTT-clean.
+    # Round 4 (scripts/perf_r7a_probe.py sweep): B=128 + attn_impl=exp2
+    # (sum_pv + nomax — the ViT transplant of the Swin round-3 softmax wins,
+    # on-chip parity 1.5e-2 bf16 band) = 265.2 clips/s vs 243.4 @B=32 exact.
+    # B-scaling is nearly flat (246.0/250.5 exact at B=64/128) — the fused
+    # ViT path is compute-bound, not dispatch-bound.
     _serving_feats_bench(
-        "passt_maccdoa_infer (fused ViT-block serving, bf16, offline feats)",
+        "passt_maccdoa_infer (fused ViT-block serving, exp2 softmax, bf16, "
+        "offline feats, B=128)",
         ["model=passt", "loss=multi_accdoa"], "passt_fused_forward",
-        "multi_accdoa", K=32)
+        "multi_accdoa", B=128, K=32, attn_impl="exp2")
 
 
 def bench_einv2_agg():

@@ -25,7 +25,6 @@ import os as _os
 
 _os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(REPO / ".jax_cache"))
 
-B = 32
 K = 16  # fori-loop harness (round 3): the body compiles once regardless of
         # K, so K sits high enough that the ~25 ms relay RTT is <2% of the
         # signal
@@ -45,7 +44,7 @@ def make_labels(rng, B, T_label, K_cls=13):
     return adpit
 
 
-def bench_mode(name, overrides):
+def bench_mode(name, overrides, B=32):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -113,9 +112,13 @@ def bench_mode(name, overrides):
 def main():
     from bench import _wait_for_backend
     _wait_for_backend()  # ride out transient relay outages (see bench.py)
-    bench_mode("train_step_htsat_maccdoa_b32 (fused frontend + fwd+bwd+AdamW, bf16)", [])
-    bench_mode("train_step_htsat_maccdoa_b32_adapterbit (frozen backbone + adapters)",
-               ["adapt=adapter"])
+    sizes = [int(s) for s in (sys.argv[1:] or ["32"])]
+    for b in sizes:
+        bench_mode(f"train_step_htsat_maccdoa_b{b} (fused frontend + fwd+bwd+AdamW, bf16)",
+                   [], B=b)
+    if 32 in sizes:
+        bench_mode("train_step_htsat_maccdoa_b32_adapterbit (frozen backbone + adapters)",
+                   ["adapt=adapter"], B=32)
 
 
 if __name__ == "__main__":

@@ -395,7 +395,7 @@ def _kernel_r2(rows_main, rows_bnd, dft_ref, mel_ref, *rest, nfh, n_ch,
                                    "precision", "split3", "radix2",
                                    "mel_precision", "pack", "iv_norm",
                                    "prep", "variant", "trim", "out_dtype",
-                                   "full_frames"))
+                                   "full_frames", "pre_scale_head"))
 def fused_logmel_iv(x: jnp.ndarray, *, n_fft: int = 1024, hop: int = 240,
                     window: str = "hann", n_mels: int = 64,
                     sample_rate: int = 24000, t_blk: int = 256,
@@ -403,6 +403,7 @@ def fused_logmel_iv(x: jnp.ndarray, *, n_fft: int = 1024, hop: int = 240,
                     radix2=None, mel_precision=None, pack: bool = True,
                     iv_norm: str = "rsqrt", prep: str = "transpose",
                     variant: str = "dit", trim=None, pre_scale=None,
+                    pre_scale_head: bool = False,
                     post_affine=None, out_dtype=jnp.float32,
                     full_frames: bool = False,
                     precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
@@ -444,6 +445,7 @@ def fused_logmel_iv(x: jnp.ndarray, *, n_fft: int = 1024, hop: int = 240,
         # scale into its prep concatenate operands instead)
         x = x * jnp.asarray(pre_scale, x.dtype)
         pre_scale = None
+        pre_scale_head = False
     if hop >= n_fft:
         raise NotImplementedError(
             f"fused_logmel_iv requires hop < n_fft (got hop={hop}, "
@@ -479,7 +481,8 @@ def fused_logmel_iv(x: jnp.ndarray, *, n_fft: int = 1024, hop: int = 240,
                             n_frames=n_frames, t_pad=t_pad,
                             n_blocks=n_blocks, post_affine=post_affine,
                             out_dtype=out_dtype, full_frames=full_frames,
-                            pre_scale=pre_scale)
+                            pre_scale=pre_scale,
+                            pre_scale_head=pre_scale_head)
     if has_post:
         raise NotImplementedError(
             "post_affine/out_dtype/full_frames: radix-2 DIT only")
@@ -556,7 +559,8 @@ def _call_radix2(x, *, pl, pltpu, n_fft, hop, window, n_mels, sample_rate,
                  t_blk, interpret, split3, precision, n_frames, t_pad,
                  n_blocks, mel_precision=None, pack=False, iv_norm="exact",
                  prep="transpose", trim=None, post_affine=None,
-                 out_dtype=jnp.float32, full_frames=False, pre_scale=None):
+                 out_dtype=jnp.float32, full_frames=False, pre_scale=None,
+                 pre_scale_head=False):
     """Host prep + pallas_call for the radix-2 DIT kernel.
 
     Frame f covers padded[f*hop + n], n = 0..n_fft-1 (center=True reflect pad
@@ -581,14 +585,20 @@ def _call_radix2(x, *, pl, pltpu, n_fft, hop, window, n_mels, sample_rate,
     half = n_fft // 2
     # pre_scale rides each concatenate OPERAND (a scalar multiply fused into
     # the concat's input computations) — scaling x up front costs a separate
-    # full-signal XLA pass (1.5 ms/batch at B=128, r4f/r4g profiles)
+    # full-signal XLA pass (1.5 ms/batch at B=128, r4f/r4g profiles).
+    # pre_scale_head=True multiplies ONLY the n_fft/2-sample reflect head
+    # (bench harnesses: per-iteration input variation that defeats loop
+    # hoisting/relay dedupe at ~0.4% of the signal instead of a multiply
+    # over all 240k samples — the rest of the chain is bit-identical to
+    # production's unscaled prep)
     sc = ((lambda a: a * jnp.asarray(pre_scale, a.dtype))
           if pre_scale is not None else (lambda a: a))
-    pieces = [sc(x[..., 1:half + 1][..., ::-1]), sc(x)]
+    sc_body = (lambda a: a) if pre_scale_head else sc
+    pieces = [sc(x[..., 1:half + 1][..., ::-1]), sc_body(x)]
     tail = 2 * need - (N + half)
     if tail > 0:
         right = jnp.concatenate(
-            [sc(x[..., -(half + 1):-1][..., ::-1]),
+            [sc_body(x[..., -(half + 1):-1][..., ::-1]),
              jnp.zeros((B, C, max(0, tail - half)), x.dtype)], axis=-1)
         pieces.append(right[..., :tail])
     sig = jnp.concatenate(pieces, axis=-1)[..., :2 * need]

@@ -147,6 +147,22 @@ def test_fused_frontend_serving_folds(rng):
                                    pre_scale=jnp.float32(1.3)))
     np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
 
+    # pre_scale_head: scale touches ONLY the n_fft/2-sample reflect head —
+    # scale=1 is bit-identical, scale!=1 perturbs exactly the frames whose
+    # window overlaps the head (f*hop < n_fft/2 -> f < 512/240, frames 0-2
+    # here) and leaves every later frame bit-identical to production
+    h1 = np.asarray(fused_logmel_iv(jnp.asarray(x), t_blk=32, interpret=True,
+                                    split3=True, pre_scale=jnp.float32(1.0),
+                                    pre_scale_head=True))
+    np.testing.assert_array_equal(h1, base)
+    h2 = np.asarray(fused_logmel_iv(jnp.asarray(x), t_blk=32, interpret=True,
+                                    split3=True, pre_scale=jnp.float32(2.0),
+                                    pre_scale_head=True))
+    n_head_frames = -(-(1024 // 2) // 240)  # ceil(half / hop) = 3
+    assert np.abs(h2[:, :, :n_head_frames] - base[:, :, :n_head_frames]).max() > 1e-4
+    np.testing.assert_array_equal(h2[:, :, n_head_frames:],
+                                  base[:, :, n_head_frames:])
+
     # post_affine + full_frames: affine applied per (channel, mel), frames
     # beyond n_frames (=101 here) zeroed, t_pad (=128) frames returned
     inv = rng.standard_normal((7, 64)).astype(np.float32)
