@@ -115,6 +115,14 @@ class WindowAttention(nn.Module):
             attn = attn.reshape(B_ // nW, nW, nh, N, N) + m[None, :, None]
             attn = attn.reshape(B_, nh, N, N)
         attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+        # Eval-time attention-map hook (htsat.py:145,264,370-372): the
+        # reference threads post-softmax maps out of every block when
+        # `not self.training` (its forward_features then discards them —
+        # debugging/visualization only). sow() is the flax analogue: free
+        # unless the caller opts in with
+        # `apply(..., mutable=["intermediates"])`, which returns per-block
+        # (B*nW, nh, N, N) window-attention maps keyed by module path.
+        self.sow("intermediates", "attn", attn)
         if not deterministic and self.attn_drop > 0:
             attn = nn.Dropout(self.attn_drop, deterministic=False)(attn)
 

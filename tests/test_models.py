@@ -44,6 +44,33 @@ def test_htsat_head_shapes(rng, num_tracks, key):
     assert np.all(np.abs(np.asarray(out[key])) <= 1.0)
 
 
+def test_htsat_attention_map_hook(rng):
+    """Eval-time attention maps via the intermediates collection — the flax
+    analogue of the reference's `not self.training` capture
+    (htsat.py:145,264,370-372; discarded by its forward_features)."""
+    K = 5
+    model = heads.HTSAT(num_classes=K, in_channels=7, mel_bins=16, pred_res=10,
+                        num_tracks=1, tgt_output_frames=25,
+                        encoder_kwargs=TINY_HTSAT)
+    x = jnp.asarray(rng.standard_normal((2, 7, 250, 16)), jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    out, state = model.apply(variables, x, train=False,
+                             mutable=["intermediates"])
+    leaves = [(p, a) for p, a in
+              jax.tree_util.tree_leaves_with_path(state["intermediates"])]
+    # one map per Swin block (TINY_HTSAT depths (1,1) -> 2 blocks); each is
+    # a post-softmax (B*nW, nh, N, N) tensor with rows summing to 1
+    assert len(leaves) == 2
+    for path, attn in leaves:
+        assert "attn" in jax.tree_util.keystr(path)
+        assert attn.ndim == 4 and attn.shape[-1] == attn.shape[-2]
+        np.testing.assert_allclose(np.asarray(attn.sum(-1)), 1.0, atol=1e-5)
+    # and the default (immutable) apply pays nothing / returns no state
+    out2 = model.apply(variables, x, train=False)
+    np.testing.assert_array_equal(np.asarray(out["accdoa"]),
+                                  np.asarray(out2["accdoa"]))
+
+
 def test_htsat_5s_trick(rng):
     K = 3
     model = heads.HTSAT(num_classes=K, in_channels=7, mel_bins=16, pred_res=10,
