@@ -173,7 +173,8 @@ def bench_cnn14_accdoa():
     jax.block_until_ready(base)
     dt = _k_time(
         lambda k, w, v: crnn_fused_forward_from_wav(
-            model, v, w, wav_scale=1.0 + 1e-4 * k)["accdoa"].astype(
+            model, v, w, wav_scale=1.0 + 1e-4 * k,
+            pre_scale_head=True)["accdoa"].astype(
                 jnp.float32).mean(),
         (base, variables))
     _emit("cnn14_accdoa_infer (glue-folded pallas frontend + fused CRNN "

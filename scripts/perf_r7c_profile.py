@@ -51,7 +51,8 @@ def main():
     def step(v, w, k):
         def body(i, acc):
             out = crnn_fused_forward_from_wav(
-                model, v, w, wav_scale=1.0 + 1e-4 * (k * K + i))
+                model, v, w, wav_scale=1.0 + 1e-4 * (k * K + i),
+                pre_scale_head=True)
             return acc + out["accdoa"].astype(jnp.float32).mean()
         return jax.lax.fori_loop(0, K, body, jnp.float32(0))
 
