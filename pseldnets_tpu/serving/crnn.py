@@ -178,6 +178,7 @@ def crnn_fused_forward(model, variables, x: jnp.ndarray,
                        compute_dtype: Dtype = jnp.bfloat16,
                        pool: str = "avg",
                        ffn_barrier: bool = True,
+                       conv_out: str = "compute",
                        pre_normalized: bool = False) -> Dict[str, jnp.ndarray]:
     """Eval forward equal to ``model.apply(variables, x, train=False)``.
 
@@ -185,6 +186,12 @@ def crnn_fused_forward(model, variables, x: jnp.ndarray,
     decoder in {"conformer", None}; ``x`` is (B, C, T, F) float32 features.
     ``pre_normalized``: ``x`` already carries the eval ScalarBN (folded into
     the frontend kernel — see :func:`crnn_fused_forward_from_wav`).
+    ``conv_out``: "compute" (default) asks XLA for compute-dtype conv outputs so
+    the trunk's ReLU(x+bias) passes read/write bf16 — the r7c device profile
+    showed the separate f32 relu+convert materializations after every conv
+    were the largest non-conv cost (~25 ms of the 92.9 ms step; the MXU
+    still accumulates f32 internally). "f32" keeps f32 conv outputs with the
+    relu pass doing the downcast (the pre-round-4 behaviour).
     """
     assert model.decoder in ("conformer", None, "None", "null", "identity"), \
         f"crnn_fused_forward supports conformer/null decoders, got " \
@@ -205,6 +212,7 @@ def crnn_fused_forward(model, variables, x: jnp.ndarray,
     feats = tuple(model.num_features)
     pools = [(2, 2)] * 3 + [(1, 2)] * (len(feats) - 3)
     pool_fn = _pool_slice if pool == "slice" else _avg_pool
+    conv_pet = cd if conv_out == "compute" else jnp.float32
     for i in range(len(feats)):
         blk = p["convs"][f"conv_block{i + 1}"]
         bst = st["convs"][f"conv_block{i + 1}"]
@@ -215,8 +223,8 @@ def crnn_fused_forward(model, variables, x: jnp.ndarray,
             x = jax.lax.conv_general_dilated(
                 x, kern, window_strides=(1, 1), padding=((1, 1), (1, 1)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.float32)
-            x = jax.nn.relu(x + bias).astype(cd)
+                preferred_element_type=conv_pet)
+            x = jax.nn.relu(x + bias.astype(conv_pet)).astype(cd)
         x = pool_fn(x, pools[i])
 
     x = x.astype(jnp.float32).mean(axis=2).astype(cd)  # (B, T', C)
@@ -242,6 +250,7 @@ def crnn_fused_forward_from_wav(model, variables, wav: jnp.ndarray,
                                 compute_dtype: Dtype = jnp.bfloat16,
                                 wav_scale=None, pool: str = "avg",
                                 ffn_barrier: bool = True,
+                                conv_out: str = "compute",
                                 interpret: bool = False,
                                 **frontend_kwargs) -> Dict[str, jnp.ndarray]:
     """FOA waveform -> CRNN logits with the eval ScalarBN + compute-dtype
@@ -255,4 +264,5 @@ def crnn_fused_forward_from_wav(model, variables, wav: jnp.ndarray,
                                 **frontend_kwargs)
     return crnn_fused_forward(model, variables, feats,
                               compute_dtype=compute_dtype, pool=pool,
-                              ffn_barrier=ffn_barrier, pre_normalized=True)
+                              ffn_barrier=ffn_barrier, conv_out=conv_out,
+                              pre_normalized=True)
