@@ -178,7 +178,7 @@ def crnn_fused_forward(model, variables, x: jnp.ndarray,
                        compute_dtype: Dtype = jnp.bfloat16,
                        pool: str = "avg",
                        ffn_barrier: bool = True,
-                       conv_out: str = "compute",
+                       conv_out: str = "f32",
                        pre_normalized: bool = False) -> Dict[str, jnp.ndarray]:
     """Eval forward equal to ``model.apply(variables, x, train=False)``.
 
@@ -186,12 +186,14 @@ def crnn_fused_forward(model, variables, x: jnp.ndarray,
     decoder in {"conformer", None}; ``x`` is (B, C, T, F) float32 features.
     ``pre_normalized``: ``x`` already carries the eval ScalarBN (folded into
     the frontend kernel — see :func:`crnn_fused_forward_from_wav`).
-    ``conv_out``: "compute" (default) asks XLA for compute-dtype conv outputs so
-    the trunk's ReLU(x+bias) passes read/write bf16 — the r7c device profile
+    ``conv_out``: "compute" asks XLA for compute-dtype conv outputs so the
+    trunk's ReLU(x+bias) passes read/write bf16 — the r7c device profile
     showed the separate f32 relu+convert materializations after every conv
     were the largest non-conv cost (~25 ms of the 92.9 ms step; the MXU
-    still accumulates f32 internally). "f32" keeps f32 conv outputs with the
-    relu pass doing the downcast (the pre-round-4 behaviour).
+    still accumulates f32 internally). Measured a WASH on-chip (r7e A/B
+    @B=128: 93.79 ms vs 93.24 f32 — XLA's conv emitter evidently already
+    fuses the downcast into the producing pass, so halving the relu bytes
+    buys nothing), hence "f32" (the slightly faster side) is the default.
     """
     assert model.decoder in ("conformer", None, "None", "null", "identity"), \
         f"crnn_fused_forward supports conformer/null decoders, got " \
@@ -250,7 +252,7 @@ def crnn_fused_forward_from_wav(model, variables, wav: jnp.ndarray,
                                 compute_dtype: Dtype = jnp.bfloat16,
                                 wav_scale=None, pool: str = "avg",
                                 ffn_barrier: bool = True,
-                                conv_out: str = "compute",
+                                conv_out: str = "f32",
                                 interpret: bool = False,
                                 **frontend_kwargs) -> Dict[str, jnp.ndarray]:
     """FOA waveform -> CRNN logits with the eval ScalarBN + compute-dtype
