@@ -149,9 +149,15 @@ def bench_passt_maccdoa():
 
 
 def bench_einv2_agg():
+    # Round 4 (scripts/perf_r8b_probe.py sweep, quiet): B=32/64/128 =
+    # 360.0/380.5/399.8 clips/s — the dual-HTSAT path keeps scaling with
+    # batch (unlike the single-HTSAT train step, which inverts past B=32),
+    # so the bench runs the B=128 optimum.
     _serving_feats_bench(
-        "einv2_htsat_agg_infer (fused dual-HTSAT serving, bf16, offline feats)",
-        ["loss=einv2_pit_agg"], "einv2_htsat_fused_forward", "doa", K=32)
+        "einv2_htsat_agg_infer (fused dual-HTSAT serving, bf16, offline "
+        "feats, B=128)",
+        ["loss=einv2_pit_agg"], "einv2_htsat_fused_forward", "doa", B=128,
+        K=32)
 
 
 def bench_cnn14_accdoa():
