@@ -27,7 +27,7 @@ from ..models import build_model
 from ..ops import make_extractor
 from ..parallel.mesh import make_local_mesh, make_mesh, replicate, shard_batch
 from .checkpoint import load_pretrained
-from .optim import build_optimizer
+from .optim import build_optimizer, trainable_mask
 
 # canonical device-chain order; the reference shuffles chain order randomly
 # (documented deviation). trackmix operates on FEATURES here, exactly like the
@@ -219,7 +219,26 @@ class SELDTask:
                 feats, targets = self._apply_tf_chain(sub, feats, targets,
                                                       aug_flags[0], ov1_mask)
 
+            # Freeze policy as stop_gradient (not just optax masking): frozen
+            # leaves' weight-grad matmuls get dead-code-eliminated by XLA
+            # instead of computed-then-zeroed — the backward pass only builds
+            # dW for trainable leaves (activation grads still flow through
+            # frozen weights unchanged). Matches the reference more closely
+            # too: torch requires_grad=False params have no .grad, so
+            # Lightning's gradient_clip_val norm never saw them — optax-only
+            # masking fed REAL frozen grads into clip_by_global_norm.
+            # trainable_mask is path-structural, so this resolves at trace
+            # time; mask computation costs nothing at runtime.
+            freeze_mask = trainable_mask(
+                state.params, (self.cfg.get("adapt") or {}).get("method",
+                                                                "none"))
+            any_frozen = not all(jax.tree_util.tree_leaves(freeze_mask))
+
             def loss_fn(params):
+                if any_frozen:
+                    params = jax.tree_util.tree_map(
+                        lambda q, m: q if m else jax.lax.stop_gradient(q),
+                        params, freeze_mask)
                 variables = {"params": params}
                 mutable = []
                 if state.batch_stats:

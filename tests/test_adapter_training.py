@@ -88,3 +88,54 @@ def test_adapter_step_freezes_backbone(rng):
     assert not changed_frozen, f"frozen params moved: {changed_frozen[:5]}"
     assert any("adapter" in n for n in changed_train), "adapters did not train"
     assert any("tscam_conv" in n for n in changed_train), "head did not train"
+
+
+def test_stop_gradient_freeze_matches_full_grads(rng):
+    """The train step freezes via stop_gradient on frozen leaves (so XLA
+    DCEs their weight-grad matmuls, train/module.py). Pin that this is
+    numerically a no-op for trainable leaves: grads wrt trainable params
+    are IDENTICAL to plain full-tree differentiation, and frozen leaves'
+    grads are exactly zero (torch's requires_grad=False analogue)."""
+    import flax
+
+    from pseldnets_tpu.train.optim import trainable_mask
+
+    cfg = _cfg()
+    task = SELDTask(cfg, _Spec(), steps_per_epoch=10, num_devices=1)
+    state = task.init_state(jax.random.PRNGKey(0))
+    mask = trainable_mask(state.params, "adapter")
+    assert not all(jax.tree_util.tree_leaves(mask))
+
+    x = rng.standard_normal((2, 4, 4 * 16000)).astype(np.float32) * 0.1
+    feats = task.extractor(jnp.asarray(x))
+
+    def raw_loss(params):
+        out = task.model.apply(
+            {"params": params, "batch_stats": state.batch_stats},
+            feats, train=False)
+        return jnp.mean(out["multi_accdoa"].astype(jnp.float32) ** 2)
+
+    def masked_loss(params):
+        params = jax.tree_util.tree_map(
+            lambda q, m: q if m else jax.lax.stop_gradient(q), params, mask)
+        return raw_loss(params)
+
+    g_full = jax.jit(jax.grad(raw_loss))(state.params)
+    g_mask = jax.jit(jax.grad(masked_loss))(state.params)
+
+    flat_full = flax.traverse_util.flatten_dict(jax.device_get(g_full))
+    flat_mask = flax.traverse_util.flatten_dict(jax.device_get(g_mask))
+    flat_m = flax.traverse_util.flatten_dict(
+        jax.tree_util.tree_map(bool, mask))
+    n_train = n_frozen = 0
+    for k, m in flat_m.items():
+        if m:
+            np.testing.assert_array_equal(
+                flat_mask[k], flat_full[k],
+                err_msg=f"trainable grad changed: {'/'.join(map(str, k))}")
+            n_train += 1
+        else:
+            assert not np.any(flat_mask[k]), \
+                f"frozen leaf has nonzero grad: {'/'.join(map(str, k))}"
+            n_frozen += 1
+    assert n_train > 0 and n_frozen > 0
