@@ -95,8 +95,12 @@ class LogmelIVExtractor:
         self.backend = backend
         # split-bf16 3-dot DFT (3x fewer MXU passes than f32 HIGHEST's 6;
         # max observed error 8e-4 dB logmel / 7e-5 IV vs f32). Set
-        # data.frontend_dft: f32 to force the exact path.
-        self.split3 = str(data.get("frontend_dft", "split3")) != "f32"
+        # data.frontend_dft: f32 to force the exact path, or bf16x2 for the
+        # +7.7% opt-in (bf16 signal x f32 weights; ~1e-1 dB valley-bin
+        # error, frontend-only logit band 3.3e-2 — docs/PERF.md round 4)
+        dft = str(data.get("frontend_dft", "split3"))
+        self.split3 = dft != "f32"
+        self.split_mode = "bf16x2" if dft == "bf16x2" else None
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         """(B, 4, samples) -> (B, 7, n_frames, n_mels)."""
@@ -107,7 +111,8 @@ class LogmelIVExtractor:
 
             return fused_logmel_iv(x, n_fft=self.n_fft, hop=self.hop,
                                    window=self.window, n_mels=self.n_mels,
-                                   sample_rate=self.sr, split3=self.split3)
+                                   sample_rate=self.sr, split3=self.split3,
+                                   split_mode=self.split_mode)
         real, imag = self._stft(x, self.n_fft, self.hop, self.window)  # (B,4,T,F)
         power = real * real + imag * imag
         logmel = power_to_db(_mel_project(power, self.mel_fb))

@@ -231,7 +231,7 @@ def _kernel_dif(rows_main, rows_bnd, dft_ref, mel_ref, out_ref, *, nfh, hh,
 
 
 def _kernel_r2(rows_main, rows_bnd, dft_ref, mel_ref, *rest, nfh, n_ch,
-               t_blk, n_parts, precision, split3, mel_precision=None,
+               t_blk, n_parts, precision, nsplit, mel_precision=None,
                pack=False, iv_norm="exact", has_affine=False, n_frames=None):
     """Radix-2 DIT variant: two half-size sub-DFT chains + butterfly.
 
@@ -284,7 +284,7 @@ def _kernel_r2(rows_main, rows_bnd, dft_ref, mel_ref, *rest, nfh, n_ch,
         slab = jnp.concatenate([rows_main[0, stream],
                                 rows_bnd[0, stream][:, :bnd]], axis=1)
         spec = None
-        if split3:
+        if nsplit == 3:
             # split3's a_hi@hi + a_hi@lo + a_lo@hi folded into ONE dot per
             # part: [a_hi|a_hi|a_lo] @ [hi;lo;hi] — the MXU accumulates the
             # three K-passes in f32 internally (bit-identical), deleting
@@ -294,6 +294,19 @@ def _kernel_r2(rows_main, rows_bnd, dft_ref, mel_ref, *rest, nfh, n_ch,
             slab3 = jnp.concatenate([s_hi, s_hi, s_lo], axis=-1)
             for j in range(n_parts):
                 s = jnp.dot(shifted(slab3, j), dft_ref[stream, j],
+                            preferred_element_type=jnp.float32)
+                spec = s if spec is None else spec + s
+        elif nsplit == 2:
+            # bf16x2: [a_hi|a_hi] @ [hi;lo] = bf16 signal x f32-effective
+            # weights — drops split3's signal-low-bits pass AND a third of
+            # the dominant sub-DFT K width (3*hh -> 2*hh lanes). Error is the
+            # signal's bf16 rounding (~2^-9 relative amplitude, measured
+            # ~2e-2 dB worst-bin) — below the bf16 FEATURE cast serving
+            # already applies (out_dtype=bf16 quantizes dB values at ~0.1).
+            s_hi = slab.astype(jnp.bfloat16)
+            slab2 = jnp.concatenate([s_hi, s_hi], axis=-1)
+            for j in range(n_parts):
+                s = jnp.dot(shifted(slab2, j), dft_ref[stream, j],
                             preferred_element_type=jnp.float32)
                 spec = s if spec is None else spec + s
         else:
@@ -309,7 +322,8 @@ def _kernel_r2(rows_main, rows_bnd, dft_ref, mel_ref, *rest, nfh, n_ch,
     s_f = ev + ot
     d_f = ev - ot
 
-    mel_fold_p = split3 if mel_precision is None else mel_precision == "split3"
+    mel_fold_p = (nsplit >= 2) if mel_precision is None \
+        else mel_precision == "split3"
     mp_p = precision if mel_precision in (None, "split3") else mel_precision
 
     if pack:
@@ -351,7 +365,8 @@ def _kernel_r2(rows_main, rows_bnd, dft_ref, mel_ref, *rest, nfh, n_ch,
     s_re, s_im = halves(s_f)
     d_re, d_im = halves(d_f)
 
-    mel_fold = split3 if mel_precision is None else mel_precision == "split3"
+    mel_fold = (nsplit >= 2) if mel_precision is None \
+        else mel_precision == "split3"
     mp = precision if mel_precision in (None, "split3") else mel_precision
 
     def mel2(lo, hi):
@@ -392,7 +407,8 @@ def _kernel_r2(rows_main, rows_bnd, dft_ref, mel_ref, *rest, nfh, n_ch,
 
 @partial(jax.jit, static_argnames=("n_fft", "hop", "window", "n_mels",
                                    "sample_rate", "t_blk", "interpret",
-                                   "precision", "split3", "radix2",
+                                   "precision", "split3", "split_mode",
+                                   "radix2",
                                    "mel_precision", "pack", "iv_norm",
                                    "prep", "variant", "trim", "out_dtype",
                                    "full_frames", "pre_scale_head"))
@@ -400,6 +416,7 @@ def fused_logmel_iv(x: jnp.ndarray, *, n_fft: int = 1024, hop: int = 240,
                     window: str = "hann", n_mels: int = 64,
                     sample_rate: int = 24000, t_blk: int = 256,
                     interpret: bool = False, split3: bool = False,
+                    split_mode=None,
                     radix2=None, mel_precision=None, pack: bool = True,
                     iv_norm: str = "rsqrt", prep: str = "transpose",
                     variant: str = "dit", trim=None, pre_scale=None,
@@ -420,6 +437,13 @@ def fused_logmel_iv(x: jnp.ndarray, *, n_fft: int = 1024, hop: int = 240,
     defaults: 25.44 vs 26.41 ms @B=128 (scripts/perf_r3b_probe.py), added
     deviation 3.6e-5 dB logmel / 1.9e-7 IV — far inside the budget.
 
+    ``split_mode`` (radix-2 DIT only) selects the sub-DFT dot precision:
+    None derives from ``split3`` ("bf16x3"/"f32"); "bf16x2" rounds the
+    SIGNAL to bf16 while keeping f32-effective weights ([a_hi|a_hi] @
+    [hi;lo]) — cuts the dominant dot K-width from 3*hh to 2*hh lanes at a
+    dB error of the signal's bf16 rounding (~2e-2 worst-bin), which sits
+    below the bf16 feature cast serving already applies via out_dtype.
+
     Serving-path folds (all optional, radix-2 DIT path only):
     - ``pre_scale``: scalar multiplied into the signal; XLA fuses it into
       the row-slab concatenate, so scaling the waveform becomes free
@@ -437,9 +461,14 @@ def fused_logmel_iv(x: jnp.ndarray, *, n_fft: int = 1024, hop: int = 240,
 
     B, C, N = x.shape
     assert C == 4, "FOA input required"
+    if split_mode is None:
+        split_mode = "bf16x3" if split3 else "f32"
+    assert split_mode in ("f32", "bf16x2", "bf16x3"), split_mode
     dit_path = ((radix2 is None or radix2) and n_fft % 2 == 0
                 and hop % 2 == 0 and not (variant == "dif"
                                           and window in _WIN_3TAP))
+    if split_mode == "bf16x2" and not dit_path:
+        raise NotImplementedError("split_mode='bf16x2': radix-2 DIT only")
     if pre_scale is not None and not dit_path:
         # non-DIT variants: plain up-front scaling (the DIT path fuses the
         # scale into its prep concatenate operands instead)
@@ -475,7 +504,7 @@ def fused_logmel_iv(x: jnp.ndarray, *, n_fft: int = 1024, hop: int = 240,
         return _call_radix2(x, pl=pl, pltpu=pltpu, n_fft=n_fft, hop=hop,
                             window=window, n_mels=n_mels,
                             sample_rate=sample_rate, t_blk=t_blk,
-                            interpret=interpret, split3=split3,
+                            interpret=interpret, split_mode=split_mode,
                             precision=precision, mel_precision=mel_precision,
                             pack=pack, iv_norm=iv_norm, prep=prep, trim=trim,
                             n_frames=n_frames, t_pad=t_pad,
@@ -556,7 +585,7 @@ def fused_logmel_iv(x: jnp.ndarray, *, n_fft: int = 1024, hop: int = 240,
 
 
 def _call_radix2(x, *, pl, pltpu, n_fft, hop, window, n_mels, sample_rate,
-                 t_blk, interpret, split3, precision, n_frames, t_pad,
+                 t_blk, interpret, split_mode, precision, n_frames, t_pad,
                  n_blocks, mel_precision=None, pack=False, iv_norm="exact",
                  prep="transpose", trim=None, post_affine=None,
                  out_dtype=jnp.float32, full_frames=False, pre_scale=None,
@@ -569,6 +598,7 @@ def _call_radix2(x, *, pl, pltpu, n_fft, hop, window, n_mels, sample_rate,
     which the same hop-row decomposition applies with half the hop.
     """
     B, C, N = x.shape
+    nsplit = {"f32": 0, "bf16x2": 2, "bf16x3": 3}[split_mode]
     hf, hh = n_fft // 2, hop // 2
     nfh = hf // 2 + 1
     n_freqs = n_fft // 2 + 1
@@ -654,13 +684,20 @@ def _call_radix2(x, *, pl, pltpu, n_fft, hop, window, n_mels, sample_rate,
             p[j, : seg.shape[0]] = seg
         mats.append(p)
     parts = np.stack(mats, axis=0)  # (2, np, hh, 2*nfh)
-    if split3:
+    if nsplit == 3:
         hi = np.asarray(parts.astype(jnp.bfloat16))
         lo = np.asarray((parts - np.asarray(hi, np.float32)
                          ).astype(jnp.bfloat16))
         # one-dot layout: [hi_j; lo_j; hi_j] rows pair with the kernel's
         # [a_hi | a_hi | a_lo] operand -> (2 stream, np, 3*hh, 2*nfh)
         parts = np.concatenate([hi, lo, hi], axis=2)
+    elif nsplit == 2:
+        hi = np.asarray(parts.astype(jnp.bfloat16))
+        lo = np.asarray((parts - np.asarray(hi, np.float32)
+                         ).astype(jnp.bfloat16))
+        # bf16x2: [hi_j; lo_j] rows pair with [a_hi | a_hi] — f32-effective
+        # weights, bf16-rounded signal -> (2 stream, np, 2*hh, 2*nfh)
+        parts = np.concatenate([hi, lo], axis=2)
 
     mel2 = np.zeros((2, nfh, n_mels), np.float32)
     if trim:
@@ -670,7 +707,11 @@ def _call_radix2(x, *, pl, pltpu, n_fft, hop, window, n_mels, sample_rate,
         mel2[0] = mel[:nfh]
         mel2[1, : nfh - 1] = mel[n_freqs - 1: nfh - 1: -1]  # bins N/2.. rev
 
-    mel_fold = split3 if mel_precision is None else mel_precision == "split3"
+    # the mel fold stays bf16x3 under bf16x2 DFTs: power values are runtime
+    # data (both planes needed for f32-effective accuracy) and the mel dot
+    # is ~0.5 ms of the chain
+    mel_fold = (nsplit >= 2) if mel_precision is None \
+        else mel_precision == "split3"
     if pack:  # lane-packed halves -> ONE mel dot over [mel_lo; mel_hi]
         mel2 = np.concatenate([mel2[0], mel2[1]], axis=0)  # (2*nfh, n_mels)
         if mel_fold:
@@ -684,13 +725,9 @@ def _call_radix2(x, *, pl, pltpu, n_fft, hop, window, n_mels, sample_rate,
                            ).astype(jnp.bfloat16))
         mel2 = np.concatenate([m_hi, m_lo, m_hi], axis=1)
 
-    dft_spec = (pl.BlockSpec((2, n_parts, 3 * hh, 2 * nfh),
-                             lambda b, t: (0, 0, 0, 0),
-                             memory_space=pltpu.VMEM)
-                if split3 else
-                pl.BlockSpec((2, n_parts, hh, 2 * nfh),
-                             lambda b, t: (0, 0, 0, 0),
-                             memory_space=pltpu.VMEM))
+    dft_spec = pl.BlockSpec((2, n_parts, max(1, nsplit) * hh, 2 * nfh),
+                            lambda b, t: (0, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
     mel_spec = (pl.BlockSpec((mel2.shape[0], n_mels), lambda b, t: (0, 0),
                              memory_space=pltpu.VMEM)
                 if pack else
@@ -716,7 +753,7 @@ def _call_radix2(x, *, pl, pltpu, n_fft, hop, window, n_mels, sample_rate,
     zero_tail = full_frames and n_frames < t_pad
     out = pl.pallas_call(
         partial(_kernel_r2, nfh=nfh, n_ch=C, t_blk=t_blk, n_parts=n_parts,
-                precision=precision, split3=split3,
+                precision=precision, nsplit=nsplit,
                 mel_precision=mel_precision, pack=pack, iv_norm=iv_norm,
                 has_affine=post_affine is not None,
                 n_frames=n_frames if zero_tail else None),
