@@ -93,10 +93,30 @@ class SELDTask:
         for n in range(1, len(aug_tf) + 1):
             self.aug_tf_comb += list(itertools.combinations(aug_tf, n))
 
-        self.mesh = mesh or make_mesh(num_devices)
+        # opt-in tensor parallelism (additive trainer.tensor_parallel knob,
+        # parallel/tp.py — no reference analogue): >1 trains over a 2-D
+        # (data, model) mesh; eval stays on a 1-D data mesh (the serving
+        # shard_map paths are written for pure batch sharding)
+        tp = int((cfg.get("trainer") or {}).get("tensor_parallel", 1) or 1)
+        if mesh is not None:
+            self.mesh = mesh
+            tp = mesh.shape.get("model", 1) if "model" in mesh.axis_names else 1
+        elif tp > 1:
+            from ..parallel.tp import make_mesh_2d
+
+            n = num_devices if (num_devices or 0) > 0 else len(jax.devices())
+            if n % tp:
+                raise ValueError(f"tensor_parallel={tp} does not divide "
+                                 f"{n} devices")
+            self.mesh = make_mesh_2d(n // tp, tp)
+        else:
+            self.mesh = make_mesh(num_devices)
+        self.tp_size = tp
         # validation runs the FULL set on every process (PARITY deviation #3),
         # so eval shards over the local mesh; train shards over the global one
-        if mesh is not None or jax.process_count() == 1:
+        if tp > 1:
+            self.eval_mesh = make_local_mesh(num_devices)
+        elif mesh is not None or jax.process_count() == 1:
             self.eval_mesh = self.mesh
         else:
             self.eval_mesh = make_local_mesh(num_devices)
@@ -162,6 +182,10 @@ class SELDTask:
         opt_state = self.tx.init(params)
         state = TrainState(params=params, batch_stats=batch_stats,
                            opt_state=opt_state, step=jnp.zeros((), jnp.int32))
+        if self.tp_size > 1:
+            from ..parallel.tp import shard_train_state
+
+            return shard_train_state(state, self.mesh, self.tx)
         return replicate(self.mesh, state)
 
     # ----------------------------------------------------------------- steps
