@@ -117,3 +117,33 @@ def test_tp_train_step_matches_dp():
     flat_tp = jax.tree_util.tree_leaves(jax.device_get(state_tp.params))
     worst = max(float(np.max(np.abs(a - b))) for a, b in zip(flat_dp, flat_tp))
     assert worst < 5e-4, f"param divergence after 2 steps: {worst}"
+
+
+def test_tp_checkpoint_roundtrip(tmp_path):
+    """Orbax save gathers model-sharded params to full host arrays
+    (train/loop.py device_gets before save); restore through
+    init_state(ckpt_path=...) must reproduce the values AND re-shard them
+    onto the 2-D mesh."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    import orbax.checkpoint as ocp
+
+    task, cfg = _tiny_task(tp=4)
+    state = task.init_state(jax.random.PRNGKey(0))
+    state, _, _ = task.train_step(state, _tiny_batch(cfg),
+                                  jax.random.PRNGKey(1))
+
+    ck = ocp.StandardCheckpointer()
+    ck.save(tmp_path / "ckpt",
+            jax.device_get({"params": state.params,
+                            "batch_stats": state.batch_stats}), force=True)
+    ck.wait_until_finished()
+
+    task2, _ = _tiny_task(tp=4)
+    state2 = task2.init_state(jax.random.PRNGKey(7),
+                              ckpt_path=str(tmp_path / "ckpt"))
+    a = jax.tree_util.tree_leaves(jax.device_get(state.params))
+    b = jax.tree_util.tree_leaves(jax.device_get(state2.params))
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    assert count_model_sharded(state2.params) >= 13
