@@ -318,6 +318,19 @@ def test_crnn_fused_forward_parity(rng):
         assert got.shape == ref.shape
         dev = np.abs(got - ref).max()
         assert dev < 5e-5, dev
+        # conv_out="compute" at f32 compute dtype is the identical graph
+        # (cd == f32); guards the knob's wiring (measured a wash on-chip
+        # at bf16, default stays "f32" — docs/PERF.md round 4)
+        got2 = np.asarray(crnn_fused_forward(
+            model, vs, x, compute_dtype=jnp.float32, pool=pool,
+            ffn_barrier=barrier, conv_out="compute")[model.output_key])
+        np.testing.assert_array_equal(got2, got)
+        # and at bf16 it must stay within the bf16 accumulation band
+        got3 = np.asarray(crnn_fused_forward(
+            model, vs, x, compute_dtype=jnp.bfloat16, pool=pool,
+            ffn_barrier=barrier, conv_out="compute")[model.output_key])
+        assert np.isfinite(got3).all()
+        assert np.abs(got3 - ref).max() < 5e-2, np.abs(got3 - ref).max()
 
 
 def test_htsat_fused_forward_from_wav_parity(rng):
