@@ -257,8 +257,30 @@ def flatten_one_level(parent: Path, pattern: str, subdir_prefix: str = ""):
     return moved
 
 
+def _verify_checksum(path: Path, spec: str) -> bool:
+    """Check a Zenodo-style checksum spec ('md5:<hex>', or '<algo>:<hex>')."""
+    if not spec:
+        return True
+    algo, _, want = spec.partition(":")
+    import hashlib
+    try:
+        h = hashlib.new(algo)
+    except ValueError:
+        _log(f"unknown checksum algo {algo!r} — skipping verification")
+        return True
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest() == want.lower()
+
+
 def _zenodo_download(recid: str, target: Path, only_missing=True):
-    """Fetch a Zenodo record's files with urllib (no zenodo_get needed)."""
+    """Fetch a Zenodo record's files with urllib (no zenodo_get needed).
+
+    Downloads stream into a .part file and are renamed into place only
+    after the record's md5 verifies, so an interrupted run never leaves a
+    partial file that the resume check would mistake for complete.
+    """
     target.mkdir(parents=True, exist_ok=True)
     url = f"https://zenodo.org/api/records/{recid}"
     _log(f"query {url}")
@@ -277,9 +299,15 @@ def _zenodo_download(recid: str, target: Path, only_missing=True):
             _log(f"have {name}")
             continue
         link = entry["links"].get("self") or entry["links"]["download"]
+        part = dest.with_name(dest.name + ".part")
         _log(f"download {name}")
-        with urllib.request.urlopen(link, timeout=600) as r, open(dest, "wb") as f:
+        with urllib.request.urlopen(link, timeout=600) as r, open(part, "wb") as f:
             shutil.copyfileobj(r, f)
+        if not _verify_checksum(part, entry.get("checksum", "")):
+            part.unlink()
+            raise RuntimeError(f"{name}: checksum mismatch after download — "
+                               "re-run to retry")
+        part.replace(dest)
     return True
 
 

@@ -2,9 +2,9 @@
 
 Covers the reference's dataset-prep shell scripts' logic (reference
 scripts/unzip_datasets.bash, prepare_dcase2021.bash, prepare_l3das22.bash)
-without any network access: split-zip reassembly (both the `zip -s 0` CLI
-path and the pure-Python concat+EOCD-patch fallback), one-level layout
-flattening, and the L3DAS22 train/dev/test rearrangement.
+without any network access: pure-Python split-zip reassembly (concat +
+zip64-aware central-directory rewrite), one-level layout flattening,
+the L3DAS22 train/dev/test rearrangement, and download checksumming.
 """
 
 import shutil
@@ -125,3 +125,15 @@ def test_synth_split_names_match_reference_corpus():
     assert {"train20000_ov1_1", "train20000_ov1_2", "train10000_ov2_1",
             "train10000_ov2_2", "train3500_ov3_1", "train3500_ov3_2",
             "test1800_ov1", "test900_ov2", "test360_ov3"} == all_names
+
+
+def test_verify_checksum(tmp_path):
+    p = tmp_path / "f.bin"
+    p.write_bytes(b"pseldnets")
+    import hashlib
+    good = "md5:" + hashlib.md5(b"pseldnets").hexdigest()
+    assert prep._verify_checksum(p, good)
+    assert prep._verify_checksum(p, good.upper().replace("MD5", "md5"))
+    assert not prep._verify_checksum(p, "md5:" + "0" * 32)
+    assert prep._verify_checksum(p, "")          # no spec -> accept
+    assert prep._verify_checksum(p, "nope:abc")  # unknown algo -> warn+accept
