@@ -137,3 +137,21 @@ def test_verify_checksum(tmp_path):
     assert not prep._verify_checksum(p, "md5:" + "0" * 32)
     assert prep._verify_checksum(p, "")          # no spec -> accept
     assert prep._verify_checksum(p, "nope:abc")  # unknown algo -> warn+accept
+
+
+@pytest.mark.skipif(shutil.which("zip") is None, reason="needs zip CLI")
+def test_merge_split_zip_100plus_parts(tmp_path):
+    # .z01..z99 then .z100: part ordering must be numeric, not lexicographic
+    # (lexicographic would sort z100 before z11).
+    import os
+    payload = os.urandom(int(6.8e6))  # ~104 parts at 64k
+    (tmp_path / "big.bin").write_bytes(payload)
+    subprocess.run(["zip", "-q", "-s", "64k", str(tmp_path / "arc.zip"),
+                    "big.bin"], check=True, cwd=tmp_path)
+    parts = prep._split_parts(tmp_path / "arc.zip")
+    assert len(parts) > 100 and parts[0].name == "arc.z01"
+    assert parts[99].name == "arc.z100"
+    merged = prep._merge_split_zip(tmp_path / "arc.zip")
+    with zipfile.ZipFile(merged) as zf:
+        assert zf.testzip() is None
+        assert zf.read("big.bin") == payload
