@@ -114,6 +114,13 @@ class WindowAttention(nn.Module):
             m = jnp.asarray(mask)  # (nW, N, N)
             attn = attn.reshape(B_ // nW, nW, nh, N, N) + m[None, :, None]
             attn = attn.reshape(B_, nh, N, N)
+        # max SIGNED pre-softmax logit: consumed by
+        # serving.guard.resolve_nomax (the fused kernels' no-max exp2
+        # softmax overflows only for logits ABOVE +127 log2 units; the
+        # -100 shift-mask / -1e5 pairing biases underflow to exactly 0 and
+        # are safe, so abs would false-positive on every shifted block)
+        self.sow("intermediates", "attn_logit_max",
+                 jnp.max(attn.astype(jnp.float32)))
         attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
         # Eval-time attention-map hook (htsat.py:145,264,370-372): the
         # reference threads post-softmax maps out of every block when

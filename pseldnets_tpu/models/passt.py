@@ -43,6 +43,10 @@ class Attention(nn.Module):
         q, k, v = qkv[0], qkv[1], qkv[2]
         attn = jnp.einsum("bhnd,bhmd->bhnm", q * (D ** -0.5), k,
                           preferred_element_type=jnp.float32)
+        # max SIGNED pre-softmax logit for serving.guard.resolve_nomax
+        # (see models.htsat.Attention)
+        self.sow("intermediates", "attn_logit_max",
+                 jnp.max(attn.astype(jnp.float32)))
         attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
         x = jnp.einsum("bhnm,bhmd->bhnd", attn, v).transpose(0, 2, 1, 3).reshape(B, N, C)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(x)

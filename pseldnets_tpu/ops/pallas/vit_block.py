@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import swin_block as _sb
 from .swin_block import (_gelu_exact, _gelu_poly, _mlp_chunks, _softmax,
                          _ln as _ln_eps)
 
@@ -36,7 +37,7 @@ def _ln(xf, scale, bias, eps, fast=False):
 def _vit_kernel(x_ref, ln1s, ln1b, qkvw, qkvb, projw, projb,
                 ln2s, ln2b, fc1w, fc1b, fc2w, fc2b, out_ref, *,
                 N, C, nh, hidden, eps, compute_dtype, attn_impl="exact",
-                sum_pv=False, nomax=False):
+                sum_pv=False, nomax=False, mlp_min_rows=256):
     hd = C // nh
     scale = hd ** -0.5
     cd = compute_dtype
@@ -64,7 +65,10 @@ def _vit_kernel(x_ref, ln1s, ln1b, qkvw, qkvb, projw, projb,
                 d = s
             else:
                 d = s - jnp.max(s, axis=-1, keepdims=True)
-            e = jnp.exp2(d)
+            if "softmax" in _sb._ABLATE:  # probe-only: raw scores as e
+                e = d
+            else:
+                e = jnp.exp2(d)
             o = jax.lax.dot_general(e.astype(cd), v,
                                     (((2,), (1,)), ((0,), (0,))),
                                     preferred_element_type=jnp.float32)
@@ -103,7 +107,7 @@ def _vit_kernel(x_ref, ln1s, ln1b, qkvw, qkvb, projw, projb,
                 + fc2b[0]).astype(cd)
 
     # chunk the MLP so the (rows, hidden) f32 intermediate stays small
-    n_chunks = _mlp_chunks(G * N, min_rows=256)
+    n_chunks = _mlp_chunks(G * N, min_rows=mlp_min_rows)
     rows = (G * N) // n_chunks
     outs = [(y[c * rows:(c + 1) * rows]
              + mlp(y[c * rows:(c + 1) * rows])).astype(out_ref.dtype)
@@ -114,6 +118,7 @@ def _vit_kernel(x_ref, ln1s, ln1b, qkvw, qkvb, projw, projb,
 def vit_block_fused(x: jnp.ndarray, p: Dict, *, nh: int, eps: float = 1e-6,
                     compute_dtype=jnp.bfloat16, group: int = 0,
                     attn_impl: str = "exact", sum_pv=None, nomax=None,
+                    mlp_min_rows: int = 256,
                     interpret: bool = False) -> jnp.ndarray:
     """x (B, N, C) + the block's flax param subtree -> (B, N, C).
 
@@ -207,7 +212,7 @@ def vit_block_fused(x: jnp.ndarray, p: Dict, *, nh: int, eps: float = 1e-6,
     return pl.pallas_call(
         partial(_vit_kernel, N=N, C=C, nh=nh, hidden=hidden, eps=eps,
                 compute_dtype=compute_dtype, attn_impl=attn_impl,
-                sum_pv=sum_pv, nomax=nomax),
+                sum_pv=sum_pv, nomax=nomax, mlp_min_rows=mlp_min_rows),
         grid=(B // G,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((G, N, C), lambda b: (b, 0, 0),

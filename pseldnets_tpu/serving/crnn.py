@@ -179,6 +179,9 @@ def crnn_fused_forward(model, variables, x: jnp.ndarray,
                        pool: str = "avg",
                        ffn_barrier: bool = True,
                        conv_out: str = "f32",
+                       conv_impl: str = "xla",
+                       pallas_max_weight_mb: float = 16.0,
+                       interpret: bool = False,
                        pre_normalized: bool = False) -> Dict[str, jnp.ndarray]:
     """Eval forward equal to ``model.apply(variables, x, train=False)``.
 
@@ -218,15 +221,30 @@ def crnn_fused_forward(model, variables, x: jnp.ndarray,
     for i in range(len(feats)):
         blk = p["convs"][f"conv_block{i + 1}"]
         bst = st["convs"][f"conv_block{i + 1}"]
-        for j in (1, 2):
-            kern, bias = _fold_conv_bn(blk[f"conv{j}"]["kernel"],
-                                       blk[f"bn{j}"]["bn"],
-                                       bst[f"bn{j}"]["bn"], cd)
-            x = jax.lax.conv_general_dilated(
-                x, kern, window_strides=(1, 1), padding=((1, 1), (1, 1)),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=conv_pet)
-            x = jax.nn.relu(x + bias.astype(conv_pet)).astype(cd)
+        folded = [_fold_conv_bn(blk[f"conv{j}"]["kernel"],
+                                blk[f"bn{j}"]["bn"],
+                                bst[f"bn{j}"]["bn"], cd) for j in (1, 2)]
+        # fused double-conv Pallas block (ops.pallas.conv_block): bias+ReLU
+        # and the mid activation stay in VMEM — removes the ~25 ms of f32
+        # ReLU(x+bias)->bf16 materializations the r7c profile named. Only
+        # for blocks whose (9*Cin, Cmid)+(9*Cmid, Cout) weights fit VMEM
+        # (the big-spatial early blocks, which carry ~all the ReLU bytes).
+        wbytes = sum(9 * k.shape[2] * k.shape[3] * 2
+                     for k, _ in folded)
+        if (conv_impl == "pallas"
+                and wbytes <= pallas_max_weight_mb * 1024 * 1024):
+            from ..ops.pallas.conv_block import conv3x3_bias_relu
+
+            (k1, s1), (k2, s2) = folded
+            x = conv3x3_bias_relu(x, k1, s1, k2, s2, compute_dtype=cd,
+                                  interpret=interpret)
+        else:
+            for kern, bias in folded:
+                x = jax.lax.conv_general_dilated(
+                    x, kern, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=conv_pet)
+                x = jax.nn.relu(x + bias.astype(conv_pet)).astype(cd)
         x = pool_fn(x, pools[i])
 
     x = x.astype(jnp.float32).mean(axis=2).astype(cd)  # (B, T', C)
@@ -253,6 +271,7 @@ def crnn_fused_forward_from_wav(model, variables, wav: jnp.ndarray,
                                 wav_scale=None, pool: str = "avg",
                                 ffn_barrier: bool = True,
                                 conv_out: str = "f32",
+                                conv_impl: str = "xla",
                                 interpret: bool = False,
                                 **frontend_kwargs) -> Dict[str, jnp.ndarray]:
     """FOA waveform -> CRNN logits with the eval ScalarBN + compute-dtype
@@ -267,4 +286,5 @@ def crnn_fused_forward_from_wav(model, variables, wav: jnp.ndarray,
     return crnn_fused_forward(model, variables, feats,
                               compute_dtype=compute_dtype, pool=pool,
                               ffn_barrier=ffn_barrier, conv_out=conv_out,
+                              conv_impl=conv_impl, interpret=interpret,
                               pre_normalized=True)

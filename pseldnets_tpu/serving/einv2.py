@@ -19,7 +19,7 @@ Dtype = Any
 
 
 def _fused_stage(enc, i: int, x: jnp.ndarray, compute_dtype, interpret,
-                 merge_fold=False):
+                 merge_fold=False, nomax=None):
     """Swin stage i of a bound HTSATEncoder: fused blocks + flax PatchMerging
     (or the merge folded into the last block kernel when ``merge_fold``)."""
     Hg = enc.spec_size // enc.patch_stride[0]
@@ -35,7 +35,7 @@ def _fused_stage(enc, i: int, x: jnp.ndarray, compute_dtype, interpret,
         fold = merge_fold and has_merge and j == enc.depths[i] - 1
         x = swin_block_fused(x, pstage[f"blocks_{j}"], H=Hi, W=Wi,
                              nh=enc.num_heads[i], window=w_i, shift=shift,
-                             attn_impl="auto",
+                             attn_impl="auto", nomax=nomax,
                              compute_dtype=compute_dtype, interpret=interpret,
                              merge_params=pstage["downsample"] if fold
                              else None)
@@ -47,7 +47,8 @@ def _fused_stage(enc, i: int, x: jnp.ndarray, compute_dtype, interpret,
 def einv2_htsat_fused_forward(model, variables, x: jnp.ndarray,
                               compute_dtype: Dtype = jnp.bfloat16,
                               interpret: bool = False,
-                              merge_fold: bool = True) -> Dict[str, jnp.ndarray]:
+                              merge_fold: bool = True,
+                              nomax=None) -> Dict[str, jnp.ndarray]:
     """Eval-mode forward equal to ``model.apply(variables, x, train=False)``
     for models.einv2_heads.HTSAT."""
 
@@ -70,9 +71,9 @@ def einv2_htsat_fused_forward(model, variables, x: jnp.ndarray,
         for i in range(len(mdl.sed_encoder.depths)):
             x_sed, x_doa = mdl.stitch1[i](x_sed, x_doa)
             x_sed = _fused_stage(mdl.sed_encoder, i, x_sed, compute_dtype,
-                                 interpret, merge_fold)
+                                 interpret, merge_fold, nomax=nomax)
             x_doa = _fused_stage(mdl.doa_encoder, i, x_doa, compute_dtype,
-                                 interpret, merge_fold)
+                                 interpret, merge_fold, nomax=nomax)
         x_sed = mdl.sed_encoder.finalize(x_sed)
         x_doa = mdl.doa_encoder.finalize(x_doa)
 

@@ -59,6 +59,7 @@ def htsat_fused_forward(model: "heads.HTSAT", variables, x: jnp.ndarray,
                         interpret: bool = False,
                         pre_normalized: bool = False,
                         merge_fold: bool = True,
+                        nomax=None,
                         patch_embed: str = "einsum") -> Dict[str, jnp.ndarray]:
     """Eval-mode forward equal to ``model.apply(variables, x, train=False)``.
 
@@ -176,7 +177,7 @@ def htsat_fused_forward(model: "heads.HTSAT", variables, x: jnp.ndarray,
             x = swin_block_fused(
                 x, lp[f"blocks_{j}"], H=Hi, W=Wi, nh=num_heads[i],
                 window=w_i, shift=shift, compute_dtype=compute_dtype,
-                attn_impl=attn_impl, interpret=interpret,
+                attn_impl=attn_impl, interpret=interpret, nomax=nomax,
                 merge_params=lp["downsample"] if fold_merge else None)
         if not merge_fold and i < num_layers - 1:
             # PatchMerging (models.htsat.PatchMerging) at the XLA level

@@ -22,6 +22,7 @@ def passt_fused_forward(model, variables, x: jnp.ndarray,
                         compute_dtype: Dtype = jnp.bfloat16,
                         interpret: bool = False,
                         attn_impl: str = "exact",
+                        nomax=None,
                         pre_normalized: bool = False) -> Dict[str, jnp.ndarray]:
     """Eval-mode forward equal to ``model.apply(variables, x, train=False)``.
 
@@ -43,7 +44,7 @@ def passt_fused_forward(model, variables, x: jnp.ndarray,
         for i in range(depth):
             h = vit_block_fused(h, pb[f"blocks_{i}"], nh=nh, eps=1e-6,
                                 compute_dtype=compute_dtype,
-                                attn_impl=attn_impl,
+                                attn_impl=attn_impl, nomax=nomax,
                                 interpret=interpret)
         fm, _ = mdl.encoder.forward_after(h, train=False)
         return {mdl.output_key: jnp.tanh(mdl.fc(fm))}

@@ -11,6 +11,7 @@ DCASE decode + SELD metrics (train/loop.py).
 """
 
 import itertools
+import logging
 
 from typing import Any, Dict, Optional, Tuple
 
@@ -125,6 +126,9 @@ class SELDTask:
         self._train_step_fn = None
         self._eval_step_fn = None
         self._eval_state_cache = None
+        # no-max exp2 softmax guard (serving.guard): None = unresolved;
+        # resolved once per task at first eval from the loaded checkpoint
+        self._nomax = None
         self.tx = None
 
     # ------------------------------------------------------------------ init
@@ -293,35 +297,74 @@ class SELDTask:
         # (donation is ignored there and warns — e.g. bench_train's K-unroll)
         return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
-    def _make_eval_step(self):
+    def _select_fused_eval(self):
+        """The fused serving fn for this model on this backend (or None).
+
+        On TPU, plain (no-adapter) transformer inference routes through the
+        fused-block serving engines (serving/htsat|passt|einv2): profiling
+        showed the flax forwards are copies/LN-bound, not matmul-bound;
+        parity is pinned in tests/test_serving_fused.py."""
         from ..models import einv2_heads, heads
 
-        # On TPU, plain (no-adapter) transformer inference routes through the
-        # fused-block serving engines (serving/htsat|passt|einv2): profiling
-        # showed the flax forwards are copies/LN-bound, not matmul-bound;
-        # parity is pinned in tests/test_serving_fused.py. Multi-chip:
-        # shard_map runs the pallas grid per device shard (the 5s-clip
-        # pairing becomes shard-local, same semantics as the reference's
-        # per-GPU DDP batches).
-        fused_fn = None
-        if jax.default_backend() in ("tpu", "axon"):  # axon = TPU relay
-            from .. import serving
+        if jax.default_backend() not in ("tpu", "axon"):  # axon = TPU relay
+            return None, False
+        from .. import serving
 
-            if (isinstance(self.model, heads.HTSAT)
-                    and self.model.adapt.method in ("none", "mono_finetune")):
-                fused_fn = serving.htsat_fused_forward
-            elif isinstance(self.model, heads.PASST):
-                fused_fn = serving.passt_fused_forward
-            elif (isinstance(self.model, einv2_heads.HTSAT)
-                    and self.model.adapt.method in ("none", "mono_finetune")):
-                fused_fn = serving.einv2_htsat_fused_forward
-            elif (isinstance(self.model, heads.CRNN)
-                    and self.model.decoder in ("conformer", None, "None",
-                                               "null", "identity")):
-                # XLA-level rewrite (folded BNs, flattened conformer denses,
-                # interp+mean matmul) — no Pallas, so adapters-free only
-                fused_fn = serving.crnn_fused_forward
+        if (isinstance(self.model, heads.HTSAT)
+                and self.model.adapt.method in ("none", "mono_finetune")):
+            return serving.htsat_fused_forward, True
+        if isinstance(self.model, heads.PASST):
+            return serving.passt_fused_forward, True
+        if (isinstance(self.model, einv2_heads.HTSAT)
+                and self.model.adapt.method in ("none", "mono_finetune")):
+            return serving.einv2_htsat_fused_forward, True
+        if (isinstance(self.model, heads.CRNN)
+                and self.model.decoder in ("conformer", None, "None",
+                                           "null", "identity")):
+            # XLA-level rewrite (folded BNs, flattened conformer denses,
+            # interp+mean matmul) — no Pallas, so adapters-free only
+            return serving.crnn_fused_forward, False
+        return None, False
+
+    def _resolve_nomax(self, state, batch_x) -> None:
+        """One-time no-max exp2 softmax guard (serving.guard; round-4 review
+        item): before the fused eval step is built, probe the LOADED
+        checkpoint's max attention logit on the first eval clips and force
+        the guarded softmax if it runs hot (a silently-NaN footgun for
+        unvalidated external checkpoints otherwise). No-op for non-attention
+        models / CPU eval."""
+        if self._nomax is not None:
+            return
+        fused_fn, attention = self._select_fused_eval()
+        if fused_fn is None or not attention:
+            self._nomax = True
+            return
+        from ..serving.guard import LOG2E, NOMAX_LOG2_LIMIT, resolve_nomax
+
+        params, batch_stats = self._localize_for_eval(state)
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        feats = jax.jit(self._forward_features)(jnp.asarray(batch_x[:2]))
+        ok = resolve_nomax(self.model, variables, feats)
+        if not ok:
+            logging.getLogger(__name__).warning(
+                "nomax guard: probe max |attention logit| exceeds %.0f log2 "
+                "units — fused serving falls back to the guarded (row-max) "
+                "softmax for this checkpoint", NOMAX_LOG2_LIMIT)
+        del LOG2E
+        self._nomax = ok
+
+    def _make_eval_step(self):
+        # Multi-chip: shard_map runs the pallas grid per device shard (the
+        # 5s-clip pairing becomes shard-local, same semantics as the
+        # reference's per-GPU DDP batches).
+        fused_fn, attention = self._select_fused_eval()
         use_fused = fused_fn is not None
+        # nomax resolved by _resolve_nomax before the step is built; None
+        # (unresolved, e.g. warmup paths) keeps the kernels' auto default
+        guard_kw = {"nomax": self._nomax} if (use_fused and attention
+                                              and self._nomax is False) else {}
 
         def eval_step(params, batch_stats, batch_x):
             feats = self._forward_features(batch_x)
@@ -330,7 +373,8 @@ class SELDTask:
                 variables["batch_stats"] = batch_stats
             if use_fused:
                 fwd = lambda v, f: fused_fn(  # noqa: E731
-                    self.model, v, f, compute_dtype=self.model.dtype)
+                    self.model, v, f, compute_dtype=self.model.dtype,
+                    **guard_kw)
                 if self.eval_mesh.size > 1:
                     from jax import shard_map
                     from jax.sharding import PartitionSpec as P
@@ -434,9 +478,10 @@ class SELDTask:
         return params, bs
 
     def eval_step(self, state, batch: Dict, post_processing: Optional[str] = None):
-        if self._eval_step_fn is None:
-            self._eval_step_fn = self._make_eval_step()
         batch_x = jnp.asarray(np.asarray(batch["data"], np.float32))
+        if self._eval_step_fn is None:
+            self._resolve_nomax(state, batch_x)
+            self._eval_step_fn = self._make_eval_step()
         # uneven final validation batches: NamedSharding requires the batch
         # dim divisible by the mesh, and the 5s-concat path (heads.py /
         # serving) needs an EVEN batch PER DEVICE (shard_map runs it
@@ -538,6 +583,7 @@ class SELDTask:
         dispatches — on the dev relay that is ~6x fewer round-trips, and on
         any backend the small-B forwards become MXU-efficient ones."""
         if self._eval_step_fn is None:
+            self._resolve_nomax(state, batch_x)
             self._eval_step_fn = self._make_eval_step()
         if getattr(self, "_acs_step_fn", None) is None:
             self._acs_step_fn = self._make_acs_step()

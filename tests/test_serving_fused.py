@@ -331,6 +331,13 @@ def test_crnn_fused_forward_parity(rng):
             ffn_barrier=barrier, conv_out="compute")[model.output_key])
         assert np.isfinite(got3).all()
         assert np.abs(got3 - ref).max() < 5e-2, np.abs(got3 - ref).max()
+        # fused Pallas double-conv trunk (conv_impl="pallas"): bias+ReLU and
+        # the mid activation stay in VMEM (ops.pallas.conv_block)
+        got4 = np.asarray(crnn_fused_forward(
+            model, vs, x, compute_dtype=jnp.float32, pool=pool,
+            ffn_barrier=barrier, conv_impl="pallas",
+            interpret=True)[model.output_key])
+        assert np.abs(got4 - ref).max() < 5e-5, np.abs(got4 - ref).max()
 
 
 def test_htsat_fused_forward_from_wav_parity(rng):
