@@ -112,11 +112,18 @@ def bench_mode(name, overrides, B=32):
 def main():
     from bench import _wait_for_backend
     _wait_for_backend()  # ride out transient relay outages (see bench.py)
-    sizes = [int(s) for s in (sys.argv[1:] or ["32"])]
+    args = sys.argv[1:]
+    fused = "--fused" in args  # trainer.fused_forward A/B (round-5 item #3)
+    sizes = [int(s) for s in [a for a in args if not a.startswith("-")]
+             or ["32"]]
+    ov = ["trainer.fused_forward=true"] if fused else []
+    tag = " fused-vjp-blocks" if fused else ""
     for b in sizes:
-        bench_mode(f"train_step_htsat_maccdoa_b{b} (fused frontend + fwd+bwd+AdamW, bf16)",
-                   [], B=b)
-    if 32 in sizes:
+        bench_mode(f"train_step_htsat_maccdoa_b{b} (fused frontend + "
+                   f"fwd+bwd+AdamW, bf16{tag})", ov, B=b)
+    if 32 in sizes and not fused:
+        # AdapterBit inserts bottleneck/LoRA adapters INSIDE the blocks —
+        # the fused kernels don't implement them, so no fused mode here
         bench_mode("train_step_htsat_maccdoa_b32_adapterbit (frozen backbone + adapters)",
                    ["adapt=adapter"], B=32)
 

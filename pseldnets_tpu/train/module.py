@@ -123,6 +123,18 @@ class SELDTask:
             self.eval_mesh = make_local_mesh(num_devices)
         self._repl = NamedSharding(self.mesh, P())
         self._batch_shard = NamedSharding(self.mesh, P("data"))
+        # trainer.fused_forward: train with the fused Swin fwd+VJP kernels
+        # (train/fused_forward.py; HTSAT, adapters-free only — validated
+        # at step-build time)
+        self.fused_forward = bool(
+            (cfg.get("trainer") or {}).get("fused_forward", False))
+        if self.fused_forward:
+            from .fused_forward import supports_fused_train
+
+            if not supports_fused_train(self.model):
+                raise ValueError(
+                    "trainer.fused_forward=true requires an adapters-free "
+                    "HTSAT with zero attn/proj/pos dropout")
         self._train_step_fn = None
         self._eval_step_fn = None
         self._eval_state_cache = None
@@ -272,6 +284,17 @@ class SELDTask:
                 if state.batch_stats:
                     variables["batch_stats"] = state.batch_stats
                     mutable = ["batch_stats"]
+                if self.fused_forward:
+                    # trainer.fused_forward (additive knob): Swin blocks as
+                    # fused fwd + custom-VJP Pallas kernels
+                    from .fused_forward import htsat_fused_train_forward
+
+                    preds, new_bs = htsat_fused_train_forward(
+                        self.model, variables, feats,
+                        dropout_rng=jax.random.fold_in(key, 1),
+                        compute_dtype=self.model.dtype)
+                    losses = self.loss(preds, targets)
+                    return losses[self.loss_type], (losses, new_bs)
                 out = self.model.apply(
                     variables, feats, train=True, mutable=mutable,
                     rngs={"dropout": jax.random.fold_in(key, 1),

@@ -1,0 +1,96 @@
+"""Fused-kernel training forward (train/fused_forward.py): loss, grads and
+batch-stats updates must match the flax train-mode apply (drop_path=0 so no
+RNG-order divergence; f32 interpret kernels)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pseldnets_tpu.models import heads
+from pseldnets_tpu.train.fused_forward import (htsat_fused_train_forward,
+                                               supports_fused_train)
+
+
+def _tiny(drop_path=0.0, dtype=jnp.float32):
+    return heads.HTSAT(
+        num_classes=3, in_channels=7, mel_bins=16, num_tracks=1,
+        tgt_output_frames=24, dtype=dtype,
+        encoder_kwargs=(("spec_size", 64), ("patch_size", 4),
+                        ("patch_stride", (4, 4)), ("embed_dim", 16),
+                        ("depths", (2, 2)), ("num_heads", (2, 4)),
+                        ("window_size", 4), ("mlp_ratio", 2.0),
+                        ("drop_path_rate", drop_path)))
+
+
+def test_fused_train_forward_matches_flax():
+    model = _tiny(0.0)
+    assert supports_fused_train(model)
+    r = np.random.default_rng(0)
+    x = jnp.asarray(r.standard_normal((2, 7, 241, 16)).astype(np.float32))
+    y = jnp.asarray(r.standard_normal((2, 24, 9)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    key = jax.random.PRNGKey(3)
+
+    def loss_flax(params):
+        out, nv = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            x, train=True, mutable=["batch_stats"],
+            rngs={"dropout": key, "patchout": key})
+        return jnp.mean((out["accdoa"] - y) ** 2), nv["batch_stats"]
+
+    def loss_fused(params):
+        preds, new_bs = htsat_fused_train_forward(
+            model,
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            x, dropout_rng=key, compute_dtype=jnp.float32, interpret=True)
+        return jnp.mean((preds["accdoa"] - y) ** 2), new_bs
+
+    (l0, bs0), g0 = jax.value_and_grad(loss_flax, has_aux=True)(
+        variables["params"])
+    (l1, bs1), g1 = jax.value_and_grad(loss_fused, has_aux=True)(
+        variables["params"])
+
+    assert abs(float(l0) - float(l1)) < 2e-6, (float(l0), float(l1))
+    # ScalarBN train-mode stats update identical (same module either way)
+    for a, b in zip(jax.tree_util.tree_leaves(bs0),
+                    jax.tree_util.tree_leaves(bs1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    # grads within the vjp kernel's f32 band (test_swin_vjp pins 2e-4)
+    flat0 = jax.tree_util.tree_leaves_with_path(g0)
+    flat1 = dict(jax.tree_util.tree_leaves_with_path(g1))
+    worst = 0.0
+    for path, a in flat0:
+        b = flat1[path]
+        scale = max(1.0, float(np.abs(np.asarray(a)).max()))
+        worst = max(worst, float(np.abs(np.asarray(a)
+                                        - np.asarray(b)).max()) / scale)
+    assert worst < 5e-4, worst
+
+
+def test_fused_train_forward_droppath_finite():
+    """drop_path>0: masks differ from flax's draw order by design — just
+    pin finiteness + shape + that masks actually vary with the rng."""
+    model = _tiny(0.5)
+    r = np.random.default_rng(1)
+    x = jnp.asarray(r.standard_normal((2, 7, 241, 16)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    outs = []
+    for seed in (1, 2):
+        preds, _ = htsat_fused_train_forward(
+            model, variables, x, dropout_rng=jax.random.PRNGKey(seed),
+            compute_dtype=jnp.float32, interpret=True)
+        arr = np.asarray(preds["accdoa"])
+        assert np.isfinite(arr).all()
+        outs.append(arr)
+    assert np.abs(outs[0] - outs[1]).max() > 0  # rng reaches the masks
+
+
+def test_supports_fused_train_gates():
+    from pseldnets_tpu.models.adapters import AdaptConfig
+
+    assert supports_fused_train(_tiny())
+    lora = heads.HTSAT(num_classes=3,
+                       adapt=AdaptConfig({"method": "lora"}),
+                       encoder_kwargs=(("depths", (2, 2)),
+                                       ("num_heads", (2, 4))))
+    assert not supports_fused_train(lora)
