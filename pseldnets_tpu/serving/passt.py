@@ -23,7 +23,8 @@ def passt_fused_forward(model, variables, x: jnp.ndarray,
                         interpret: bool = False,
                         attn_impl: str = "exact",
                         nomax=None,
-                        pre_normalized: bool = False) -> Dict[str, jnp.ndarray]:
+                        pre_normalized: bool = False,
+                        **block_kwargs) -> Dict[str, jnp.ndarray]:
     """Eval-mode forward equal to ``model.apply(variables, x, train=False)``.
 
     ``pre_normalized``: ``x`` already carries the eval ScalarBN (folded into
@@ -45,7 +46,7 @@ def passt_fused_forward(model, variables, x: jnp.ndarray,
             h = vit_block_fused(h, pb[f"blocks_{i}"], nh=nh, eps=1e-6,
                                 compute_dtype=compute_dtype,
                                 attn_impl=attn_impl, nomax=nomax,
-                                interpret=interpret)
+                                interpret=interpret, **block_kwargs)
         fm, _ = mdl.encoder.forward_after(h, train=False)
         return {mdl.output_key: jnp.tanh(mdl.fc(fm))}
 
@@ -56,6 +57,7 @@ def passt_fused_forward_from_wav(model, variables, wav: jnp.ndarray,
                                  compute_dtype: Dtype = jnp.bfloat16,
                                  wav_scale=None, interpret: bool = False,
                                  attn_impl: str = "exact",
+                                 block_kwargs=None,
                                  **frontend_kwargs) -> Dict[str, jnp.ndarray]:
     """FOA waveform -> PaSST logits with the eval ScalarBN + compute-dtype
     cast folded into the frontend kernel (serving.folded_wav_features);
@@ -69,4 +71,4 @@ def passt_fused_forward_from_wav(model, variables, wav: jnp.ndarray,
     return passt_fused_forward(model, variables, feats,
                                compute_dtype=compute_dtype,
                                interpret=interpret, attn_impl=attn_impl,
-                               pre_normalized=True)
+                               pre_normalized=True, **(block_kwargs or {}))

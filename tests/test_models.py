@@ -57,7 +57,10 @@ def test_htsat_attention_map_hook(rng):
     out, state = model.apply(variables, x, train=False,
                              mutable=["intermediates"])
     leaves = [(p, a) for p, a in
-              jax.tree_util.tree_leaves_with_path(state["intermediates"])]
+              jax.tree_util.tree_leaves_with_path(state["intermediates"])
+              # round 5 added a scalar attn_logit_max sow per block for the
+              # nomax guard (test_nomax_guard.py) — filter to the maps
+              if "attn_logit_max" not in jax.tree_util.keystr(p)]
     # one map per Swin block (TINY_HTSAT depths (1,1) -> 2 blocks); each is
     # a post-softmax (B*nW, nh, N, N) tensor with rows summing to 1
     assert len(leaves) == 2
