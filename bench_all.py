@@ -141,6 +141,10 @@ def bench_passt_maccdoa():
     # on-chip parity 1.5e-2 bf16 band) = 265.2 clips/s vs 243.4 @B=32 exact.
     # B-scaling is nearly flat (246.0/250.5 exact at B=64/128) — the fused
     # ViT path is compute-bound, not dispatch-bound.
+    # Round 5 (scripts/perf_r9c_probe.py): vit_block's new G=1 + unchunked
+    # MLP defaults take this config 265.3 -> 318.9 clips/s (66.90 ms/batch
+    # @B=128; B=256 only +0.4% more) — no kwargs needed here, the defaults
+    # carry it.
     _serving_feats_bench(
         "passt_maccdoa_infer (fused ViT-block serving, exp2 softmax, bf16, "
         "offline feats, B=128)",
