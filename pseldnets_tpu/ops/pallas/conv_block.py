@@ -10,17 +10,35 @@ profile put ~25 ms of the 93 ms cnn14_accdoa step @B=128 in those
 (conv_out="compute") measured a wash because the passes are latency-bound,
 not byte-bound.
 
-This kernel removes the pass entirely: conv (as ONE im2col dot per T-chunk:
-9 shifted views of the in-VMEM zero-padded input, lane-concatenated to a
-(rows, 9*Cin) patch matrix), bias add, ReLU and the bf16 store all happen
-in VMEM — per conv, HBM traffic drops to one bf16 activation read + one
-bf16 write. ``double=True`` fuses BOTH convs of a ConvBlock, eliminating
-the mid activation's HBM round-trip too (conv1 is recomputed on a 2-row
-halo per chunk so conv2's taps stay chunk-local).
+These kernels remove the pass entirely: conv, bias add, ReLU and the bf16
+store all happen in VMEM — per conv, HBM traffic drops to one bf16
+activation read + one bf16 write. ``w2``/``b2`` fuse BOTH convs of a
+ConvBlock, eliminating the mid activation's HBM round-trip too (conv1 is
+recomputed on a 2-row halo per chunk so conv2's taps stay chunk-local).
 
-Used for the big-spatial blocks (1-4) of CNN8/CNN12/CNN14 trunks; the late
-blocks keep XLA convs (their 9*Cin x Cout weights outgrow VMEM and their
-ReLU passes are byte-tiny). Parity pinned in tests/test_conv_block.py.
+Mosaic legality (the round-5 r9b lesson): the classic im2col form — 9
+shifted views lane-concatenated to a (rows, 9*Cin) patch matrix, one dot —
+does NOT compile on-chip: `tpu.concatenate` requires every input's (sublane,
+lane) vpad offset to match on non-concat dims, and the taps sit at lane
+offsets {0, Cin, 2*Cin, ...} / sublane offsets {0, 1, 2} ("result/input
+offset mismatch on non-concat dimension"). The legal form used here is
+per-tap accumulation: 9 separate (rows, Cin) @ (Cin, Cout) dots summed into
+one f32 accumulator — tap views are untiled-dim/sublane slices (free, r5h)
+and the weight taps are sublane slices of the (9*Cin, Cout) buffer at
+Cin-multiples. The MXU pads each dot's K to 128 lanes, so per-tap costs
+extra padded MACs only when Cin % 128 != 0 (2x at Cin=64, ruinous at
+Cin=7) — hence ``mode="relu_conv"`` for the trunk's first block: conv1
+(Cin=7) stays an XLA conv emitting RAW (bias-free) bf16, and the kernel
+fuses bias1+ReLU -> conv2 -> bias2+ReLU, which is where the bytes are.
+
+VERDICT (round-5 r9b on-chip A/B, docs/PERF.md): the legal per-tap form
+LOSES — 102.7 vs 75.3 ms full CNN14 @B=128 (trunk-only 79.6 vs 52.1) —
+because the per-tap K/N lane padding (2-4x at the C=64 early blocks)
+exceeds the ~20-25 ms of ReLU materialization passes it removes; XLA's
+conv emitter needs no padding and out-schedules the kernel ~2x at these
+shapes. serving/crnn keeps ``conv_impl="xla"`` as the default; this kernel
+stays as the measured record of the alternative (opt-in, parity pinned in
+tests/test_conv_block.py).
 """
 
 from functools import partial
@@ -41,32 +59,44 @@ def _pick_t_blk(T: int, target: int = 128) -> int:
     return best
 
 
-def _conv_chunk(xp, W, b, c0, tb, F, cd):
-    """One T-chunk of conv3x3+bias+relu over the padded (T+2, F+2, Cin)
-    VMEM-resident input. Returns (tb, F, Cout) in cd."""
-    taps = []
+def _conv_chunk(xp, W, b, c0, tb, F, Cin, cd):
+    """One T-chunk of conv3x3+bias+relu over the padded (rows, F+2, Cin)
+    VMEM-resident input, as 9 per-tap dots accumulated in f32 (see module
+    docstring for why not one im2col dot). Returns (tb, F, Cout) in cd."""
+    acc = None
     for dt in range(3):
+        rows = jax.lax.slice_in_dim(xp, c0 + dt, c0 + dt + tb, axis=0)
         for df in range(3):
-            taps.append(jax.lax.slice_in_dim(
-                jax.lax.slice_in_dim(xp, c0 + dt, c0 + dt + tb, axis=0),
-                df, df + F, axis=1))
-    pat = jnp.concatenate(taps, axis=-1)  # (tb, F, 9*Cin)
-    y = jax.lax.dot_general(pat, W, (((2,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    return jnp.maximum(y + b, 0.0).astype(cd)
+            tap = jax.lax.slice_in_dim(rows, df, df + F, axis=1)
+            wt = jax.lax.slice_in_dim(W, (dt * 3 + df) * Cin,
+                                      (dt * 3 + df + 1) * Cin, axis=0)
+            y = jax.lax.dot_general(tap, wt, (((2,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            acc = y if acc is None else acc + y
+    return jnp.maximum(acc + b, 0.0).astype(cd)
 
 
-def _kernel_single(x_ref, w_ref, b_ref, o_ref, *, T, F, t_blk, cd):
+def _kernel_single(x_ref, w_ref, b_ref, o_ref, *, T, F, Cin, t_blk, cd):
     x = x_ref[0]  # (T, F, Cin)
     xp = jnp.pad(x, ((1, 1), (1, 1), (0, 0)))
     W = w_ref[:]
     b = b_ref[0]
     for c0 in range(0, T, t_blk):
-        o_ref[0, c0:c0 + t_blk] = _conv_chunk(xp, W, b, c0, t_blk, F, cd)
+        o_ref[0, c0:c0 + t_blk] = _conv_chunk(xp, W, b, c0, t_blk, F, Cin, cd)
+
+
+def _zero_mid_halo(mid, c0, t_blk, T):
+    """conv2's halo OUTSIDE the image must be zeros (SAME padding), not
+    conv1 evaluated past the edge (relu(b1 + edge taps) != 0)."""
+    if c0 == 0:
+        mid = jnp.concatenate([jnp.zeros_like(mid[:1]), mid[1:]], axis=0)
+    if c0 + t_blk == T:
+        mid = jnp.concatenate([mid[:-1], jnp.zeros_like(mid[-1:])], axis=0)
+    return mid
 
 
 def _kernel_double(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *,
-                   T, F, t_blk, cd):
+                   T, F, Cin, Cmid, t_blk, cd):
     """conv1+relu -> conv2+relu with the mid activation never leaving VMEM.
     conv1 runs per chunk on a 1-row halo each side (2 rows recomputed) so
     conv2's taps stay chunk-local."""
@@ -76,16 +106,33 @@ def _kernel_double(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *,
     for c0 in range(0, T, t_blk):
         # conv1 over rows [c0-1, c0+tb+1) of the (pad-1) frame: with the
         # double pad, chunk row r of conv1's padded input is xp[c0 + r]
-        mid = _conv_chunk(xp, W1, b1, c0, t_blk + 2, F, cd)
-        # conv2's halo OUTSIDE the image must be zeros (SAME padding), not
-        # conv1 evaluated past the edge (relu(b1 + edge taps) != 0)
-        if c0 == 0:
-            mid = jnp.concatenate([jnp.zeros_like(mid[:1]), mid[1:]], axis=0)
-        if c0 + t_blk == T:
-            mid = jnp.concatenate([mid[:-1], jnp.zeros_like(mid[-1:])],
-                                  axis=0)
+        mid = _conv_chunk(xp, W1, b1, c0, t_blk + 2, F, Cin, cd)
+        mid = _zero_mid_halo(mid, c0, t_blk, T)
         midp = jnp.pad(mid, ((0, 0), (1, 1), (0, 0)))
-        o_ref[0, c0:c0 + t_blk] = _conv_chunk(midp, W2, b2, 0, t_blk, F, cd)
+        o_ref[0, c0:c0 + t_blk] = _conv_chunk(midp, W2, b2, 0, t_blk, F,
+                                              Cmid, cd)
+
+
+def _kernel_relu_conv(x_ref, b1_ref, w2_ref, b2_ref, o_ref, *,
+                      T, F, Cmid, t_blk, cd):
+    """relu(x + b1) -> conv2 -> relu(+b2), where ``x`` is the RAW (bias-free)
+    output of an XLA conv1 — used when conv1's Cin (e.g. the trunk's 7 input
+    channels) would make per-tap dots pad K 7->128 lanes for nothing. Fusing
+    the bias1+ReLU here still kills the big f32 materialization pass."""
+    x = x_ref[0]  # (T, F, Cmid) raw conv1 output
+    b1, W2, b2 = b1_ref[0], w2_ref[:], b2_ref[0]
+    for c0 in range(0, T, t_blk):
+        lo, hi = max(c0 - 1, 0), min(c0 + t_blk + 1, T)
+        mid = jnp.maximum(
+            jax.lax.slice_in_dim(x, lo, hi, axis=0).astype(jnp.float32) + b1,
+            0.0).astype(cd)
+        if c0 == 0:
+            mid = jnp.concatenate([jnp.zeros_like(mid[:1]), mid], axis=0)
+        if c0 + t_blk == T:
+            mid = jnp.concatenate([mid, jnp.zeros_like(mid[:1])], axis=0)
+        midp = jnp.pad(mid, ((0, 0), (1, 1), (0, 0)))
+        o_ref[0, c0:c0 + t_blk] = _conv_chunk(midp, W2, b2, 0, t_blk, F,
+                                              Cmid, cd)
 
 
 def conv3x3_bias_relu(x: jnp.ndarray, w, b, w2=None, b2=None, *,
@@ -99,35 +146,49 @@ def conv3x3_bias_relu(x: jnp.ndarray, w, b, w2=None, b2=None, *,
     ``x`` (B, T, F, Cin) NHWC; ``w`` (3, 3, Cin, Cout) HWIO (eval BN already
     folded — serving/crnn._fold_conv_bn); SAME padding, stride 1. Output
     (B, T, F, Cout) in ``compute_dtype``.
+
+    When ``w is None`` (``b``/``w2``/``b2`` given), ``x`` is instead the raw
+    bias-free conv1 output and the kernel computes
+    relu(conv3x3(relu(x + b), w2) + b2) — see ``_kernel_relu_conv``.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     B, T, F, Cin = x.shape
-    double = w2 is not None
-    Cout = (w2 if double else w).shape[-1]
-    Cmid = w.shape[-1]
+    relu_conv = w is None
+    double = w2 is not None and not relu_conv
+    Cout = (w2 if (double or relu_conv) else w).shape[-1]
+    Cmid = Cin if relu_conv else w.shape[-1]
     tb = t_blk or _pick_t_blk(T)
 
-    W1 = jnp.asarray(w, jnp.float32).reshape(9 * Cin, Cmid).astype(
-        compute_dtype)
-    b1 = jnp.asarray(b, jnp.float32).reshape(1, Cmid)
-    args = [x.astype(compute_dtype), W1, b1]
+    def wmat(k, C_in):
+        return jnp.asarray(k, jnp.float32).reshape(9 * C_in, -1).astype(
+            compute_dtype)
+
     const = lambda *shape: pl.BlockSpec(  # noqa: E731
         shape, lambda bb: (0,) * len(shape), memory_space=pltpu.VMEM)
-    in_specs = [
-        pl.BlockSpec((1, T, F, Cin), lambda bb: (bb, 0, 0, 0),
-                     memory_space=pltpu.VMEM),
-        const(9 * Cin, Cmid), const(1, Cmid),
-    ]
-    if double:
-        W2 = jnp.asarray(w2, jnp.float32).reshape(9 * Cmid, Cout).astype(
-            compute_dtype)
-        args += [W2, jnp.asarray(b2, jnp.float32).reshape(1, Cout)]
-        in_specs += [const(9 * Cmid, Cout), const(1, Cout)]
-        kern = partial(_kernel_double, T=T, F=F, t_blk=tb, cd=compute_dtype)
+    args = [x.astype(compute_dtype)]
+    in_specs = [pl.BlockSpec((1, T, F, Cin), lambda bb: (bb, 0, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    if relu_conv:
+        args += [jnp.asarray(b, jnp.float32).reshape(1, Cmid),
+                 wmat(w2, Cmid),
+                 jnp.asarray(b2, jnp.float32).reshape(1, Cout)]
+        in_specs += [const(1, Cmid), const(9 * Cmid, Cout), const(1, Cout)]
+        kern = partial(_kernel_relu_conv, T=T, F=F, Cmid=Cmid, t_blk=tb,
+                       cd=compute_dtype)
     else:
-        kern = partial(_kernel_single, T=T, F=F, t_blk=tb, cd=compute_dtype)
+        args += [wmat(w, Cin), jnp.asarray(b, jnp.float32).reshape(1, Cmid)]
+        in_specs += [const(9 * Cin, Cmid), const(1, Cmid)]
+        if double:
+            args += [wmat(w2, Cmid),
+                     jnp.asarray(b2, jnp.float32).reshape(1, Cout)]
+            in_specs += [const(9 * Cmid, Cout), const(1, Cout)]
+            kern = partial(_kernel_double, T=T, F=F, Cin=Cin, Cmid=Cmid,
+                           t_blk=tb, cd=compute_dtype)
+        else:
+            kern = partial(_kernel_single, T=T, F=F, Cin=Cin, t_blk=tb,
+                           cd=compute_dtype)
 
     return pl.pallas_call(
         kern,

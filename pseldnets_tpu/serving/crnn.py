@@ -174,6 +174,49 @@ def _conformer_block(x, p, s, nh, cd, ffn_barrier):
     return _ln(x, p["final_norm"])
 
 
+def _conv_block(x, folded, conv_impl, cd, conv_pet, pallas_max_weight_mb,
+                interpret=False):
+    """One ConvBlock (conv+bias+ReLU x2) of the trunk, folded-BN weights.
+
+    conv_impl="pallas" runs the fused Pallas kernel (ops.pallas.conv_block):
+    bias+ReLU and the mid activation stay in VMEM — removes the ~25 ms of
+    f32 ReLU(x+bias)->bf16 materializations the r7c device profile named.
+    Only for blocks whose (9*Cin, Cmid)+(9*Cmid, Cout) weights fit VMEM
+    (the big-spatial early blocks, which carry ~all the ReLU bytes). The
+    stem block's conv1 (Cin=7) stays an XLA conv emitting RAW bias-free
+    output — the kernel's per-tap dots would pad K 7->128 lanes (18x MACs);
+    the kernel then fuses bias1+ReLU -> conv2 -> bias2+ReLU (relu_conv
+    mode), which is where the materialization bytes are.
+
+    MEASURED LOSER (round-5 r9b A/B, docs/PERF.md): the per-tap padding at
+    the C=64 early blocks costs more than the passes it removes (full model
+    102.7 vs 75.3 ms @B=128) — "xla" stays the default; "pallas" remains as
+    the measured-alternative record.
+    """
+    (k1, s1), (k2, s2) = folded
+    wbytes = sum(9 * k.shape[2] * k.shape[3] * 2 for k, _ in folded)
+    if (conv_impl == "pallas"
+            and wbytes <= pallas_max_weight_mb * 1024 * 1024):
+        from ..ops.pallas.conv_block import conv3x3_bias_relu
+
+        if k1.shape[2] < 32:  # tiny Cin: per-tap K-padding unaffordable
+            x = jax.lax.conv_general_dilated(
+                x, k1, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=cd)
+            return conv3x3_bias_relu(x, None, s1, k2, s2, compute_dtype=cd,
+                                     interpret=interpret)
+        return conv3x3_bias_relu(x, k1, s1, k2, s2, compute_dtype=cd,
+                                 interpret=interpret)
+    for kern, bias in folded:
+        x = jax.lax.conv_general_dilated(
+            x, kern, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=conv_pet)
+        x = jax.nn.relu(x + bias.astype(conv_pet)).astype(cd)
+    return x
+
+
 def crnn_fused_forward(model, variables, x: jnp.ndarray,
                        compute_dtype: Dtype = jnp.bfloat16,
                        pool: str = "avg",
@@ -224,28 +267,8 @@ def crnn_fused_forward(model, variables, x: jnp.ndarray,
         folded = [_fold_conv_bn(blk[f"conv{j}"]["kernel"],
                                 blk[f"bn{j}"]["bn"],
                                 bst[f"bn{j}"]["bn"], cd) for j in (1, 2)]
-        # fused double-conv Pallas block (ops.pallas.conv_block): bias+ReLU
-        # and the mid activation stay in VMEM — removes the ~25 ms of f32
-        # ReLU(x+bias)->bf16 materializations the r7c profile named. Only
-        # for blocks whose (9*Cin, Cmid)+(9*Cmid, Cout) weights fit VMEM
-        # (the big-spatial early blocks, which carry ~all the ReLU bytes).
-        wbytes = sum(9 * k.shape[2] * k.shape[3] * 2
-                     for k, _ in folded)
-        if (conv_impl == "pallas"
-                and wbytes <= pallas_max_weight_mb * 1024 * 1024):
-            from ..ops.pallas.conv_block import conv3x3_bias_relu
-
-            (k1, s1), (k2, s2) = folded
-            x = conv3x3_bias_relu(x, k1, s1, k2, s2, compute_dtype=cd,
-                                  interpret=interpret)
-        else:
-            for kern, bias in folded:
-                x = jax.lax.conv_general_dilated(
-                    x, kern, window_strides=(1, 1), padding=((1, 1), (1, 1)),
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                    preferred_element_type=conv_pet)
-                x = jax.nn.relu(x + bias.astype(conv_pet)).astype(cd)
-        x = pool_fn(x, pools[i])
+        x = pool_fn(_conv_block(x, folded, conv_impl, cd, conv_pet,
+                                pallas_max_weight_mb, interpret), pools[i])
 
     x = x.astype(jnp.float32).mean(axis=2).astype(cd)  # (B, T', C)
 

@@ -80,8 +80,7 @@ def cnn14_ab():
 
     # trunk-only bucket (convs+pools, through the trunk mean)
     from pseldnets_tpu.serving.crnn import (_affine_from_bn, _avg_pool,
-                                            _fold_conv_bn)
-    from pseldnets_tpu.ops.pallas.conv_block import conv3x3_bias_relu
+                                            _conv_block, _fold_conv_bn)
 
     p = variables["params"]
     st = variables["batch_stats"]
@@ -100,19 +99,8 @@ def cnn14_ab():
                                     blk[f"bn{j}"]["bn"],
                                     bst[f"bn{j}"]["bn"], jnp.bfloat16)
                       for j in (1, 2)]
-            wb = sum(9 * k.shape[2] * k.shape[3] * 2 for k, _ in folded)
-            if impl == "pallas" and wb <= 16 * 1024 * 1024:
-                (k1, s1), (k2, s2) = folded
-                x = conv3x3_bias_relu(x, k1, s1, k2, s2)
-            else:
-                for kern, bias in folded:
-                    x = jax.lax.conv_general_dilated(
-                        x, kern, window_strides=(1, 1),
-                        padding=((1, 1), (1, 1)),
-                        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                        preferred_element_type=jnp.float32)
-                    x = jax.nn.relu(x + bias).astype(jnp.bfloat16)
-            x = _avg_pool(x, pools[i])
+            x = _avg_pool(_conv_block(x, folded, impl, jnp.bfloat16,
+                                      jnp.float32, 16.0), pools[i])
         return x.astype(jnp.float32).mean()
 
     for impl in ("xla", "pallas"):
@@ -129,19 +117,34 @@ def cnn14_ab():
 
 
 def guard_drive():
-    """Real-TPU drive of the round-5 nomax guard: a hot random-init HTSAT
-    through SELDTask.eval_step must resolve nomax=False and stay finite."""
+    """Real-TPU drive of the round-5 nomax guard: an HTSAT with qkv heated
+    past the exp2 overflow margin (test_nomax_guard._heat pattern) through
+    SELDTask.eval_step must resolve nomax=False and stay finite (the
+    unguarded kernel would NaN via inf/inf)."""
     from pseldnets_tpu.config import compose
-    from pseldnets_tpu.data.datasets import get_dataset
+    from pseldnets_tpu.data.datasets import BaseDatasetSpec
     from pseldnets_tpu.train.module import SELDTask
 
     cfg = compose(str(REPO / "configs"), "train",
                   ["model.kwargs.pretrained_path=null",
                    "model.kwargs.audioset_pretrain=false",
                    "loss=multi_accdoa", "data.audio_feature=logmelIV"])
-    spec = get_dataset(cfg)
-    task = SELDTask(cfg, spec, num_devices=1)
+
+    class _Spec(BaseDatasetSpec):  # no corpus on disk (bench_train pattern)
+        def __init__(self):
+            super().__init__()
+            self.label_dic = {f"c{i}": i for i in range(13)}
+            self.max_ov = 3
+
+    task = SELDTask(cfg, _Spec(), num_devices=1)
     state = task.init_state()
+
+    def heat(tree, path=()):
+        if isinstance(tree, dict):
+            return {k: heat(v, path + (k,)) for k, v in tree.items()}
+        return tree * 40.0 if "qkv" in path else tree
+
+    state = state.replace(params=heat(state.params))
     batch = {"data": np.random.default_rng(0).standard_normal(
         (2, 4, 240000)).astype(np.float32) * 0.1}
     t0 = time.time()

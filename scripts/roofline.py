@@ -115,8 +115,10 @@ def cnn14_trunk_macs(B=128, feats=(64, 128, 256, 512, 1024, 2048),
 MEASURED = {
     # config: (ms_per_batch, B, padded_macs_fn) — update each bench refresh
     "htsat_maccdoa": (44.51, 128, htsat_step_padded_macs),
-    "passt_maccdoa": (80.88, 128, passt_step_padded_macs),
-    "cnn14_accdoa": (93.42, 128, None),  # conv table printed separately
+    "passt_maccdoa": (66.90, 128, passt_step_padded_macs),  # r9c G=1 defaults
+    "cnn14_accdoa": (93.42, 128, None),  # conv table printed separately;
+    # r9b trunk-only bucket: 52.1 ms of it is the conv trunk = ~85 TMAC/s
+    # REAL — above the 75.5 TMAC/s in-Pallas dense ceiling (r9c calib_true)
 }
 
 

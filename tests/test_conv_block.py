@@ -50,6 +50,31 @@ def test_double_conv_parity_and_edge_halo():
                                                 np.abs(got - ref).max())
 
 
+def test_relu_conv_parity():
+    """w=None mode: x is the RAW bias-free conv1 output and the kernel
+    computes relu(conv3x3(relu(x + b1), w2) + b2) — the stem-block split
+    (XLA conv1, fused rest) serving/crnn._conv_block uses for Cin=7."""
+    r = np.random.default_rng(2)
+    B, T, F, Ci, Cm, Co = 2, 12, 8, 7, 16, 24
+    x = jnp.asarray(r.standard_normal((B, T, F, Ci)), jnp.float32)
+    w1 = jnp.asarray(r.normal(0, 0.2, (3, 3, Ci, Cm)), jnp.float32)
+    b1 = jnp.asarray(r.normal(0, 0.5, (Cm,)), jnp.float32)
+    w2 = jnp.asarray(r.normal(0, 0.2, (3, 3, Cm, Co)), jnp.float32)
+    b2 = jnp.asarray(r.normal(0, 0.2, (Co,)), jnp.float32)
+    ref = np.asarray(_xla_conv_relu(_xla_conv_relu(x, w1, b1), w2, b2))
+    raw = jax.lax.conv_general_dilated(
+        x, w1, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    for t_blk in (4, 12):
+        got = np.asarray(conv3x3_bias_relu(raw, None, b1, w2, b2,
+                                           t_blk=t_blk,
+                                           compute_dtype=jnp.float32,
+                                           interpret=True))
+        assert np.abs(got - ref).max() < 5e-5, (t_blk,
+                                                np.abs(got - ref).max())
+
+
 def test_t_blk_autopick():
     from pseldnets_tpu.ops.pallas.conv_block import _pick_t_blk
 
