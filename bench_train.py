@@ -113,11 +113,18 @@ def main():
     from bench import _wait_for_backend
     _wait_for_backend()  # ride out transient relay outages (see bench.py)
     args = sys.argv[1:]
-    fused = "--fused" in args  # trainer.fused_forward A/B (round-5 item #3)
+    # trainer.fused_forward defaults to "auto" (round-5 r9d A/B: fused wins
+    # 46.92 vs 79.31 ms @B=32), so the plain run measures the production
+    # fused path on TPU; --flax pins the flax step for A/Bs, --fused
+    # enforces the kernels (raises if unsupported).
+    fused = "--fused" in args
+    flax = "--flax" in args
     sizes = [int(s) for s in [a for a in args if not a.startswith("-")]
              or ["32"]]
-    ov = ["trainer.fused_forward=true"] if fused else []
-    tag = " fused-vjp-blocks" if fused else ""
+    ov = (["trainer.fused_forward=true"] if fused
+          else ["trainer.fused_forward=false"] if flax else [])
+    tag = (" fused-vjp-blocks" if fused
+           else " flax" if flax else " auto=fused-on-tpu")
     for b in sizes:
         bench_mode(f"train_step_htsat_maccdoa_b{b} (fused frontend + "
                    f"fwd+bwd+AdamW, bf16{tag})", ov, B=b)

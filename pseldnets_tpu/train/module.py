@@ -124,14 +124,21 @@ class SELDTask:
         self._repl = NamedSharding(self.mesh, P())
         self._batch_shard = NamedSharding(self.mesh, P("data"))
         # trainer.fused_forward: train with the fused Swin fwd+VJP kernels
-        # (train/fused_forward.py; HTSAT, adapters-free only — validated
-        # at step-build time)
-        self.fused_forward = bool(
-            (cfg.get("trainer") or {}).get("fused_forward", False))
-        if self.fused_forward:
-            from .fused_forward import supports_fused_train
+        # (train/fused_forward.py; HTSAT, adapters-free only). Default
+        # "auto" (round-5 r9d full-step A/B: 46.92 vs 79.31 ms flax @B=32,
+        # 1.69x — docs/PERF.md): fused on TPU backends whenever the model
+        # supports it, flax otherwise. Explicit true enforces support
+        # (raises if the config can't run fused); explicit false pins flax.
+        ff = (cfg.get("trainer") or {}).get("fused_forward", "auto")
+        from .fused_forward import supports_fused_train
 
-            if not supports_fused_train(self.model):
+        if isinstance(ff, str) and ff.lower() == "auto":
+            self.fused_forward = (jax.default_backend() in ("tpu", "axon")
+                                  and supports_fused_train(self.model))
+        else:
+            self.fused_forward = (ff is True
+                                  or str(ff).lower() in ("true", "1", "yes"))
+            if self.fused_forward and not supports_fused_train(self.model):
                 raise ValueError(
                     "trainer.fused_forward=true requires an adapters-free "
                     "HTSAT with zero attn/proj/pos dropout")

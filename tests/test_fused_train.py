@@ -94,3 +94,51 @@ def test_supports_fused_train_gates():
                        encoder_kwargs=(("depths", (2, 2)),
                                        ("num_heads", (2, 4))))
     assert not supports_fused_train(lora)
+
+
+def test_fused_forward_auto_knob(monkeypatch):
+    """trainer.fused_forward defaults to "auto" (round-5 r9d A/B win):
+    fused on TPU backends when the model supports it, flax otherwise;
+    explicit true still enforces support, explicit false pins flax."""
+    from pathlib import Path
+
+    from pseldnets_tpu.config import compose
+    from pseldnets_tpu.data.datasets import BaseDatasetSpec
+    from pseldnets_tpu.train import module as tm
+
+    repo = Path(__file__).resolve().parent.parent
+    tiny = [
+        "data.sample_rate=16000", "data.nfft=256", "data.n_mels=16",
+        "data.hoplen=320", "data.train_chunklen_sec=4",
+        "model.kwargs.spec_size=64", "model.kwargs.embed_dim=8",
+        "model.kwargs.depths=[1,1]", "model.kwargs.num_heads=[2,4]",
+        "model.kwargs.window_size=4", "model.kwargs.drop_path_rate=0.0",
+        "model.kwargs.tgt_output_frames=40",
+        "model.kwargs.pretrained_path=null",
+    ]
+
+    class _Spec(BaseDatasetSpec):
+        def __init__(self):
+            super().__init__()
+            self.label_dic = {f"c{i}": i for i in range(3)}
+            self.max_ov = 3
+
+    def task(extra):
+        cfg = compose(str(repo / "configs"), "train",
+                      ["loss=multi_accdoa"] + tiny + extra)
+        return tm.SELDTask(cfg, _Spec(), steps_per_epoch=2, num_devices=1)
+
+    # auto + CPU backend -> flax
+    assert task([]).fused_forward is False
+    # auto + TPU backend + supported model -> fused
+    monkeypatch.setattr(tm.jax, "default_backend", lambda: "tpu")
+    assert task([]).fused_forward is True
+    # auto + TPU + unsupported (adapters) -> flax, no raise
+    assert task(["adapt=adapter"]).fused_forward is False
+    # explicit false pins flax even on TPU
+    assert task(["trainer.fused_forward=false"]).fused_forward is False
+    # explicit true on an unsupported config raises
+    import pytest
+
+    with pytest.raises(ValueError):
+        task(["adapt=adapter", "trainer.fused_forward=true"])
