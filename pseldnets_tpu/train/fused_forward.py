@@ -9,13 +9,14 @@ grads == jax.grad to 2e-4 f32) into the full train step behind the additive
 ``trainer.fused_forward`` knob, so the full-step A/B the round-4 review
 asked for can be measured (bench_train --fused).
 
-Math equals ``model.apply(variables, feats, train=True)`` for an
-adapters-free HTSAT with zero attn/proj/pos dropout (the production config)
-up to (a) kernel float reassociation and (b) drop-path mask RNG draw order
-(per-block fold_in of the dropout rng instead of flax's module-order
-make_rng — a different but equally-distributed sample). AdapterBit is NOT
-supported: its bottleneck/LoRA adapters live INSIDE the blocks, which the
-kernels do not implement — documented in docs/PERF.md.
+Math equals ``model.apply(variables, feats, train=True)`` for an HTSAT with
+zero attn/proj/pos dropout (the production config) up to (a) kernel float
+reassociation and (b) drop-path mask RNG draw order (per-block fold_in of the
+dropout rng instead of flax's module-order make_rng — a different but
+equally-distributed sample). AdapterBit bottleneck adapters ride the
+dedicated adapter VJP kernel (ops.pallas.swin_block_adapt_vjp) when the
+``adapter_scalar`` is a constant; learnable-scalar and LoRA configs stay on
+flax (``supports_fused_train`` gates them).
 """
 
 from typing import Any, Dict, Tuple
@@ -24,6 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.pallas.swin_block_adapt_vjp import swin_block_train_adapt
 from ..ops.pallas.swin_block_vjp import swin_block_train
 
 Dtype = Any
@@ -34,7 +36,23 @@ def supports_fused_train(model) -> bool:
 
     if not isinstance(model, heads.HTSAT):
         return False
-    if model.adapt.method != "none":
+    ad = model.adapt
+    if ad.lora:
+        return False  # LoRA rewrites qkv/proj/merge denses — not in the kernels
+    if ad.mlp_adapter or ad.spatial_adapter:
+        # AdapterBit bottlenecks ride swin_block_adapt_vjp: constant scalar,
+        # gelu act, no second (new_adapter) bottleneck
+        kw_a = ad.adapt_kwargs
+        if not isinstance(kw_a.get("adapter_scalar", "learnable_scalar"),
+                          (int, float)):
+            return False
+        if str(kw_a.get("act_layer", "gelu")).lower() != "gelu":
+            return False
+        if kw_a.get("new_adapter"):
+            return False
+    elif not (ad.method == "none" or ad.use_adapter):
+        # use_adapter with position [] (mono_finetune) is a plain model;
+        # any other unknown method stays on flax
         return False
     kw = dict(model.encoder_kwargs)
     return (kw.get("drop_rate", 0.0) == 0.0
@@ -94,8 +112,16 @@ def htsat_fused_train_forward(model, variables: Dict, feats: jnp.ndarray,
                     masks = m.astype(jnp.float32) / keep
                 else:
                     masks = jnp.ones((Bp, 2), jnp.float32)
-                x = swin_block_train(x, lp[f"blocks_{j}"], masks, Hi, Wi,
-                                     num_heads[i], w_i, shift, cd, interpret)
+                bp = lp[f"blocks_{j}"]
+                if "adapter" in bp["attn"] or "adapter" in bp["mlp"]:
+                    x = swin_block_train_adapt(
+                        x, bp, masks, Hi, Wi, num_heads[i], w_i, shift,
+                        float(model.adapt.adapt_kwargs["adapter_scalar"]),
+                        cd, interpret)
+                else:
+                    x = swin_block_train(x, bp, masks, Hi, Wi,
+                                         num_heads[i], w_i, shift, cd,
+                                         interpret)
             if i < num_layers - 1:
                 x = mdl.encoder.layers[i].downsample_mod(x)
         x = mdl.encoder.finalize(x)  # norm + token map (B', C, cfb, ST')

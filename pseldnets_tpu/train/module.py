@@ -140,8 +140,9 @@ class SELDTask:
                                   or str(ff).lower() in ("true", "1", "yes"))
             if self.fused_forward and not supports_fused_train(self.model):
                 raise ValueError(
-                    "trainer.fused_forward=true requires an adapters-free "
-                    "HTSAT with zero attn/proj/pos dropout")
+                    "trainer.fused_forward=true requires an HTSAT with zero "
+                    "attn/proj/pos dropout and no LoRA / learnable-scalar "
+                    "adapters (constant-scalar bottleneck adapters are fused)")
         self._train_step_fn = None
         self._eval_step_fn = None
         self._eval_state_cache = None
@@ -340,13 +341,19 @@ class SELDTask:
             return None, False
         from .. import serving
 
-        if (isinstance(self.model, heads.HTSAT)
-                and self.model.adapt.method in ("none", "mono_finetune")):
+        def _plain(ad):
+            # structural gate: the serving kernels implement the adapter-free
+            # block, so what matters is whether the tree CARRIES adapters /
+            # LoRA — not the method string (mono_finetune.yaml ships
+            # method=mono_adapter with position=[], i.e. a plain model)
+            return not (ad.lora or ad.mlp_adapter or ad.spatial_adapter)
+
+        if isinstance(self.model, heads.HTSAT) and _plain(self.model.adapt):
             return serving.htsat_fused_forward, True
         if isinstance(self.model, heads.PASST):
             return serving.passt_fused_forward, True
         if (isinstance(self.model, einv2_heads.HTSAT)
-                and self.model.adapt.method in ("none", "mono_finetune")):
+                and _plain(self.model.adapt)):
             return serving.einv2_htsat_fused_forward, True
         if (isinstance(self.model, heads.CRNN)
                 and self.model.decoder in ("conformer", None, "None",

@@ -67,6 +67,75 @@ def test_fused_train_forward_matches_flax():
     assert worst < 5e-4, worst
 
 
+def test_fused_train_forward_adapter_matches_flax():
+    """AdapterBit config (MlpAdapter + SpatialAdapter, constant scalar):
+    the fused path routes every block through swin_block_train_adapt and
+    must reproduce flax loss + grads, including the adapter param grads."""
+    import flax
+
+    from pseldnets_tpu.models.adapters import AdaptConfig
+
+    adapt = AdaptConfig({
+        "method": "adapter",
+        "adapt_kwargs": {"position": ["MlpAdapter", "SpatialAdapter"],
+                         "type": "adapter", "mlp_ratio": 0.5,
+                         "adapter_scalar": 0.1, "act_layer": "gelu"}})
+    model = heads.HTSAT(
+        num_classes=3, in_channels=7, mel_bins=16, num_tracks=1,
+        tgt_output_frames=24, adapt=adapt,
+        encoder_kwargs=(("spec_size", 64), ("patch_size", 4),
+                        ("patch_stride", (4, 4)), ("embed_dim", 16),
+                        ("depths", (2, 2)), ("num_heads", (2, 4)),
+                        ("window_size", 4), ("mlp_ratio", 2.0),
+                        ("drop_path_rate", 0.0)))
+    assert supports_fused_train(model)
+    r = np.random.default_rng(0)
+    x = jnp.asarray(r.standard_normal((2, 7, 241, 16)).astype(np.float32))
+    y = jnp.asarray(r.standard_normal((2, 24, 9)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    # adapter fc2 is zero-init; randomize every adapter leaf so their grads
+    # (and the upstream paths they gate) are non-trivial
+    flat = flax.traverse_util.flatten_dict(variables["params"])
+    for k in flat:
+        if "adapter" in k:
+            flat[k] = jnp.asarray(
+                r.standard_normal(flat[k].shape).astype(np.float32) * 0.3)
+    params0 = flax.traverse_util.unflatten_dict(flat)
+    key = jax.random.PRNGKey(3)
+
+    def loss_flax(params):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            x, train=True, mutable=["batch_stats"],
+            rngs={"dropout": key, "patchout": key})
+        return jnp.mean((out["accdoa"] - y) ** 2)
+
+    def loss_fused(params):
+        preds, _ = htsat_fused_train_forward(
+            model,
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            x, dropout_rng=key, compute_dtype=jnp.float32, interpret=True)
+        return jnp.mean((preds["accdoa"] - y) ** 2)
+
+    l0, g0 = jax.value_and_grad(loss_flax)(params0)
+    l1, g1 = jax.value_and_grad(loss_fused)(params0)
+    assert abs(float(l0) - float(l1)) < 2e-6, (float(l0), float(l1))
+    flat0 = jax.tree_util.tree_leaves_with_path(g0)
+    flat1 = dict(jax.tree_util.tree_leaves_with_path(g1))
+    worst = 0.0
+    n_adapter = 0
+    for path, a in flat0:
+        b = flat1[path]
+        if "adapter" in str(path):
+            n_adapter += 1
+            assert float(np.abs(np.asarray(b)).max()) > 0, path
+        scale = max(1.0, float(np.abs(np.asarray(a)).max()))
+        worst = max(worst, float(np.abs(np.asarray(a)
+                                        - np.asarray(b)).max()) / scale)
+    assert n_adapter == 2 * 4 * 4  # 2 positions x fc1/fc2 k+b x 4 blocks
+    assert worst < 5e-4, worst
+
+
 def test_fused_train_forward_droppath_finite():
     """drop_path>0: masks differ from flax's draw order by design — just
     pin finiteness + shape + that masks actually vary with the rng."""
@@ -133,12 +202,21 @@ def test_fused_forward_auto_knob(monkeypatch):
     # auto + TPU backend + supported model -> fused
     monkeypatch.setattr(tm.jax, "default_backend", lambda: "tpu")
     assert task([]).fused_forward is True
-    # auto + TPU + unsupported (adapters) -> flax, no raise
-    assert task(["adapt=adapter"]).fused_forward is False
+    # auto + TPU + constant-scalar AdapterBit -> fused (adapter VJP kernel)
+    assert task(["adapt=adapter"]).fused_forward is True
+    # ... but a learnable scalar is not in the kernels -> flax, no raise
+    assert task(
+        ["adapt=adapter",
+         "adapt.adapt_kwargs.adapter_scalar=learnable_scalar"]
+    ).fused_forward is False
+    # auto + TPU + unsupported (LoRA) -> flax, no raise
+    assert task(["adapt=lora"]).fused_forward is False
+    # mono_finetune (method=mono_adapter, position=[]) is a plain model
+    assert task(["adapt=mono_finetune"]).fused_forward is True
     # explicit false pins flax even on TPU
     assert task(["trainer.fused_forward=false"]).fused_forward is False
     # explicit true on an unsupported config raises
     import pytest
 
     with pytest.raises(ValueError):
-        task(["adapt=adapter", "trainer.fused_forward=true"])
+        task(["adapt=lora", "trainer.fused_forward=true"])
