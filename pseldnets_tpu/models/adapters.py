@@ -21,7 +21,10 @@ Dtype = Any
 
 
 def _act(name: str) -> Callable:
-    return {"gelu": nn.gelu, "relu": nn.relu, "tanh": jnp.tanh}[str(name).lower()]
+    # exact-erf gelu: the reference's nn.GELU() default (flax nn.gelu defaults
+    # to the tanh approximation, which costs ~1e-3-scale parity noise)
+    return {"gelu": lambda x: nn.gelu(x, approximate=False),
+            "relu": nn.relu, "tanh": jnp.tanh}[str(name).lower()]
 
 
 class Adapter(nn.Module):
@@ -163,6 +166,21 @@ class AdaptConfig:
         kw = self.adapt_kwargs
         return {"mlp_ratio": float(kw.get("mlp_ratio", 0.25)),
                 "adapter_scalar": kw.get("adapter_scalar", "learnable_scalar"),
+                "act_layer": kw.get("act_layer", "gelu")}
+
+    @property
+    def new_adapter(self) -> dict:
+        """Optional SECOND parallel Mlp bottleneck (reference
+        model_utilities.py:153-157 ``adapt_kwargs.new_adapter`` ->
+        ``adapter_ds``); unused by every shipped config."""
+        return dict(self.adapt_kwargs.get("new_adapter", {}) or {})
+
+    def ds_adapter_args(self) -> dict:
+        kw = self.new_adapter
+        # reference Adapter defaults (model_utilities_adapt.py:8-9):
+        # mlp_ratio 0.25, gelu, CONSTANT scalar 1
+        return {"mlp_ratio": float(kw.get("mlp_ratio", 0.25)),
+                "adapter_scalar": kw.get("adapter_scalar", 1),
                 "act_layer": kw.get("act_layer", "gelu")}
 
 

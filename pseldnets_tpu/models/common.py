@@ -144,6 +144,12 @@ class Mlp(nn.Module):
         if self.adapt.mlp_adapter:
             xs = Adapter(dim=x.shape[-1], dtype=self.dtype, name="adapter",
                          **self.adapt.adapter_args())(x)
+            if self.adapt.new_adapter:
+                # optional second parallel bottleneck (reference
+                # model_utilities.py:153-170: adapter_ds, summed like xs)
+                xs = xs + Adapter(dim=x.shape[-1], dtype=self.dtype,
+                                  name="adapter_ds",
+                                  **self.adapt.ds_adapter_args())(x)
         h = AdaptDense(self.hidden_features, dtype=self.dtype, name="fc1",
                        **self.adapt.lora_linear_args())(x)
         h = nn.gelu(h, approximate=False)

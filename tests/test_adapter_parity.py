@@ -34,13 +34,9 @@ def _cfg_with_adapt(adapt):
     })
 
 
-def test_adapter_htsat_parity(rng):
+def _run_htsat_adapter_parity(adapt, rng):
     from models import accdoa as ref_accdoa
 
-    adapt = {"method": "adapter",
-             "adapt_kwargs": {"position": ["MlpAdapter", "SpatialAdapter"],
-                              "type": "adapter", "mlp_ratio": 0.5,
-                              "adapter_scalar": 0.1, "act_layer": "gelu"}}
     cfg = _cfg_with_adapt(adapt)
     K = 3
     tm = ref_accdoa.HTSAT(cfg, K, in_channels=7, pretrained_path=None, **TINY_KW)
@@ -68,6 +64,28 @@ def test_adapter_htsat_parity(rng):
         ref_out = tm(torch.from_numpy(x.copy()))["accdoa"].numpy()
     got = np.asarray(fm.apply(variables, jnp.asarray(x), train=False)["accdoa"])
     np.testing.assert_allclose(got, ref_out, atol=3e-4)
+
+
+def test_adapter_htsat_parity(rng):
+    _run_htsat_adapter_parity(
+        {"method": "adapter",
+         "adapt_kwargs": {"position": ["MlpAdapter", "SpatialAdapter"],
+                          "type": "adapter", "mlp_ratio": 0.5,
+                          "adapter_scalar": 0.1, "act_layer": "gelu"}}, rng)
+
+
+def test_adapter_htsat_new_adapter_parity(rng):
+    """adapt_kwargs.new_adapter: the reference's optional SECOND parallel
+    Mlp bottleneck (model_utilities.py:153-170, ``adapter_ds``) — unused by
+    shipped configs but part of the config surface."""
+    _run_htsat_adapter_parity(
+        {"method": "adapter",
+         "adapt_kwargs": {"position": ["MlpAdapter", "SpatialAdapter"],
+                          "type": "adapter", "mlp_ratio": 0.5,
+                          "adapter_scalar": 0.1, "act_layer": "gelu",
+                          "new_adapter": {"mlp_ratio": 0.25,
+                                          "adapter_scalar": 1,
+                                          "act_layer": "gelu"}}}, rng)
 
 
 def test_lora_htsat_parity(rng):
