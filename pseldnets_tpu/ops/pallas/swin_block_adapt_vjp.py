@@ -39,6 +39,13 @@ from .swin_block_vjp import _dense, _ln_bwd, _ln_fwd, _partition, _reverse
 
 Dtype = Any
 
+# compile-bisect ablations (scripts/perf_r10b_compilecheck.py): "nosa"/"noma"
+# drop the spatial/mlp adapter ops from the kernels (NOT math-preserving —
+# debugging only, mirrors swin_block._ABLATE)
+import os as _os
+
+_ABLATE = set(filter(None, _os.environ.get("ADAPT_VJP_ABLATE", "").split(",")))
+
 _INV_SQRT2 = np.float32(1 / np.sqrt(2))
 _INV_SQRT2PI = np.float32(1 / np.sqrt(2 * np.pi))
 
@@ -102,19 +109,24 @@ def _fwd_kernel(x_ref, dp_ref,
 
     a_pre = (jnp.dot(attn, projw[:].astype(cd),
                      preferred_element_type=jnp.float32) + projb[0]).astype(cd)
-    # spatial adapter: a' = a + s*fc2(gelu(fc1(a))) on the window rows
-    f1s = jnp.dot(a_pre, sa1w[:].astype(cd),
-                  preferred_element_type=jnp.float32) + sa1b[0]
-    gs, _ = _gelu_pair(f1s, fast)
-    a_out = (a_pre.astype(jnp.float32) + s_ad *
-             (jnp.dot(gs.astype(cd), sa2w[:].astype(cd),
-                      preferred_element_type=jnp.float32)
-              + sa2b[0])).astype(cd)
-
-    img2 = _reverse(a_out, H, W, w, C)
+    img2 = _reverse(a_pre, H, W, w, C)
     if shift:
         img2 = jnp.roll(img2, shift=(shift, shift), axis=(0, 1))
-    y = xf + m0 * img2.reshape(L, C).astype(jnp.float32)
+    a2d = img2.reshape(L, C)
+    if "nosa" in _ABLATE:
+        branch = a2d.astype(jnp.float32)
+    else:
+        # spatial adapter: a' = a + s*fc2(gelu(fc1(a))) — row-wise, so it
+        # commutes with window-reverse/roll; applying it AFTER the
+        # permutation keeps the transpose input a plain dot output (the
+        # pre-reverse form hangs the Mosaic compile — r10b bisect)
+        f1s = jnp.dot(a2d, sa1w[:].astype(cd),
+                      preferred_element_type=jnp.float32) + sa1b[0]
+        gs, _ = _gelu_pair(f1s, fast)
+        branch = a2d.astype(jnp.float32) + s_ad * (
+            jnp.dot(gs.astype(cd), sa2w[:].astype(cd),
+                    preferred_element_type=jnp.float32) + sa2b[0])
+    y = xf + m0 * branch
     yhat2, _ = _ln_fwd(y)
     h2 = (yhat2 * ln2s[0] + ln2b[0]).astype(cd)
 
@@ -128,13 +140,14 @@ def _fwd_kernel(x_ref, dp_ref,
         fg, _ = _gelu_pair(f1, fast)
         mo = jnp.dot(fg.astype(cd), fc2w[:].astype(cd),
                      preferred_element_type=jnp.float32) + fc2b[0]
-        # parallel MLP adapter on the same LN2 rows
-        f1m = jnp.dot(h2c, ma1w[:].astype(cd),
-                      preferred_element_type=jnp.float32) + ma1b[0]
-        gm, _ = _gelu_pair(f1m, fast)
-        mo = mo + s_ad * (jnp.dot(gm.astype(cd), ma2w[:].astype(cd),
-                                  preferred_element_type=jnp.float32)
-                          + ma2b[0])
+        if "noma" not in _ABLATE:
+            # parallel MLP adapter on the same LN2 rows
+            f1m = jnp.dot(h2c, ma1w[:].astype(cd),
+                          preferred_element_type=jnp.float32) + ma1b[0]
+            gm, _ = _gelu_pair(f1m, fast)
+            mo = mo + s_ad * (jnp.dot(gm.astype(cd), ma2w[:].astype(cd),
+                                      preferred_element_type=jnp.float32)
+                              + ma2b[0])
         pieces.append((y[c * rows:(c + 1) * rows]
                        + m1 * mo).astype(out_ref.dtype))
     out_ref[0] = jnp.concatenate(pieces, axis=0)
@@ -209,18 +222,19 @@ def _bwd_kernel(x_ref, dp_ref, dout_ref,
 
     a_pre = (jnp.dot(attn, projw[:].astype(cd),
                      preferred_element_type=jnp.float32) + projb[0]).astype(cd)
-    f1s = jnp.dot(a_pre, sa1w[:].astype(cd),
-                  preferred_element_type=jnp.float32) + sa1b[0]
-    gs, dgelus = _gelu_pair(f1s, fast)
-    a_out = (a_pre.astype(jnp.float32) + s_ad *
-             (jnp.dot(gs.astype(cd), sa2w[:].astype(cd),
-                      preferred_element_type=jnp.float32)
-              + sa2b[0])).astype(cd)
-
-    img2 = _reverse(a_out, H, W, w, C)
+    img2 = _reverse(a_pre, H, W, w, C)
     if shift:
         img2 = jnp.roll(img2, shift=(shift, shift), axis=(0, 1))
-    y = xf + m0 * img2.reshape(L, C).astype(jnp.float32)
+    a2d = img2.reshape(L, C)
+    # spatial adapter AFTER the reverse/roll permutation (row-wise — exact;
+    # the pre-reverse form hangs the Mosaic compile, r10b bisect)
+    f1s = jnp.dot(a2d, sa1w[:].astype(cd),
+                  preferred_element_type=jnp.float32) + sa1b[0]
+    gs, dgelus = _gelu_pair(f1s, fast)
+    branch = a2d.astype(jnp.float32) + s_ad * (
+        jnp.dot(gs.astype(cd), sa2w[:].astype(cd),
+                preferred_element_type=jnp.float32) + sa2b[0])
+    y = xf + m0 * branch
     yhat2, r2 = _ln_fwd(y)
     h2 = (yhat2 * ln2s[0] + ln2b[0]).astype(cd)
 
@@ -282,28 +296,31 @@ def _bwd_kernel(x_ref, dp_ref, dout_ref,
     dln2b[...] += jnp.sum(dh2, axis=0, keepdims=True)
     dy = dout + _ln_bwd(dh2, yhat2, r2, ln2s[0])
 
-    # attention branch (grad arrives at a_out = a_pre + s*adapter(a_pre))
-    dbr = (m0 * dy).reshape(H, W, C)
-    if shift:
-        dbr = jnp.roll(dbr, shift=(-shift, -shift), axis=(0, 1))
-    dAf = _partition(dbr, H, W, w, C)  # (nW*N, C) f32
-    # spatial adapter backward
-    g2s = (s_ad * dAf).astype(cd)
+    # attention branch (grad arrives at branch = a2d + s*adapter(a2d), in
+    # the post-reverse row order)
+    dbranch = m0 * dy  # (L, C) f32
+    # spatial adapter backward on the reversed rows
+    g2s = (s_ad * dbranch).astype(cd)
     dsa2w[...] += jax.lax.dot_general(
         gs.astype(cd), g2s, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    dsa2b[...] += jnp.sum(s_ad * dAf, axis=0, keepdims=True)
+    dsa2b[...] += jnp.sum(s_ad * dbranch, axis=0, keepdims=True)
     dgs = jax.lax.dot_general(g2s, sa2w[:].astype(cd),
                               (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32)
     df1s = (dgs * dgelus).astype(cd)
     dsa1w[...] += jax.lax.dot_general(
-        a_pre, df1s, (((0,), (0,)), ((), ())),
+        a2d, df1s, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     dsa1b[...] += jnp.sum(df1s.astype(jnp.float32), axis=0, keepdims=True)
-    dA = (dAf + jax.lax.dot_general(
+    da2d = dbranch + jax.lax.dot_general(
         df1s, sa1w[:].astype(cd), (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)).astype(cd)
+        preferred_element_type=jnp.float32)
+
+    dbr = da2d.reshape(H, W, C)
+    if shift:
+        dbr = jnp.roll(dbr, shift=(-shift, -shift), axis=(0, 1))
+    dA = _partition(dbr, H, W, w, C).astype(cd)  # grad at a_pre, window rows
 
     dprojw[...] += jax.lax.dot_general(attn, dA, (((0,), (0,)), ((), ())),
                                        preferred_element_type=jnp.float32)
