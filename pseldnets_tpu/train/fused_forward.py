@@ -59,16 +59,45 @@ def supports_fused_train(model) -> bool:
             and kw.get("attn_drop_rate", 0.0) == 0.0)
 
 
+def _block_runner(mesh):
+    """How to invoke a fused block under a data-parallel mesh.
+
+    ``pallas_call`` is NOT GSPMD-partitionable: under a plain sharded jit
+    XLA all-gathers the batch and runs the kernel REPLICATED on every device
+    (verified on an 8-device CPU mesh — 20 all-gathers, no speedup), so on a
+    multi-chip mesh each block must run under shard_map over the data axis
+    (batch sharded, params replicated; shard_map's transpose psums the
+    replicated-param cotangents, so grads match the single-device step —
+    pinned in test_fused_train.py::test_fused_train_forward_sharded)."""
+    if (mesh is None or "data" not in mesh.axis_names
+            or mesh.shape["data"] == 1):
+        return lambda fn, x, p, masks, *static: fn(x, p, masks, *static)
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def run(fn, x, p, masks, *static):
+        f = lambda x_, p_, m_: fn(x_, p_, m_, *static)
+        # check_vma=False: pallas_call out_shapes carry no vma annotation
+        # (same as the serving shard_map paths)
+        return shard_map(f, mesh=mesh,
+                         in_specs=(P("data"), P(), P("data")),
+                         out_specs=P("data"), check_vma=False)(x, p, masks)
+
+    return run
+
+
 def htsat_fused_train_forward(model, variables: Dict, feats: jnp.ndarray,
                               dropout_rng, compute_dtype: Dtype = None,
-                              interpret: bool = False
+                              interpret: bool = False, mesh=None
                               ) -> Tuple[Dict[str, jnp.ndarray], Dict]:
     """Train-mode forward with fused Swin block kernels (custom VJP).
 
     Returns ``(preds, new_batch_stats)`` like the flax apply with
     ``mutable=["batch_stats"]`` (the train-mode ScalarBN update runs through
-    the model's own module)."""
+    the model's own module). Pass the trainer's data mesh so the block
+    kernels shard over it (see _block_runner)."""
     cd = compute_dtype or model.dtype
+    run_block = _block_runner(mesh)
     kw = dict(model.encoder_kwargs)
     spec_size = kw.get("spec_size", 256)
     patch_stride = tuple(kw.get("patch_stride", (4, 4)))
@@ -114,14 +143,14 @@ def htsat_fused_train_forward(model, variables: Dict, feats: jnp.ndarray,
                     masks = jnp.ones((Bp, 2), jnp.float32)
                 bp = lp[f"blocks_{j}"]
                 if "adapter" in bp["attn"] or "adapter" in bp["mlp"]:
-                    x = swin_block_train_adapt(
-                        x, bp, masks, Hi, Wi, num_heads[i], w_i, shift,
+                    x = run_block(
+                        swin_block_train_adapt, x, bp, masks, Hi, Wi,
+                        num_heads[i], w_i, shift,
                         float(model.adapt.adapt_kwargs["adapter_scalar"]),
                         cd, interpret)
                 else:
-                    x = swin_block_train(x, bp, masks, Hi, Wi,
-                                         num_heads[i], w_i, shift, cd,
-                                         interpret)
+                    x = run_block(swin_block_train, x, bp, masks, Hi, Wi,
+                                  num_heads[i], w_i, shift, cd, interpret)
             if i < num_layers - 1:
                 x = mdl.encoder.layers[i].downsample_mod(x)
         x = mdl.encoder.finalize(x)  # norm + token map (B', C, cfb, ST')

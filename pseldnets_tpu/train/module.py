@@ -133,16 +133,21 @@ class SELDTask:
         from .fused_forward import supports_fused_train
 
         if isinstance(ff, str) and ff.lower() == "auto":
+            # tp>1 excluded: the kernels consume FULL param matrices, and
+            # Megatron-sharded params would be all-gathered per block
             self.fused_forward = (jax.default_backend() in ("tpu", "axon")
-                                  and supports_fused_train(self.model))
+                                  and supports_fused_train(self.model)
+                                  and self.tp_size == 1)
         else:
             self.fused_forward = (ff is True
                                   or str(ff).lower() in ("true", "1", "yes"))
-            if self.fused_forward and not supports_fused_train(self.model):
+            if self.fused_forward and (not supports_fused_train(self.model)
+                                       or self.tp_size > 1):
                 raise ValueError(
                     "trainer.fused_forward=true requires an HTSAT with zero "
-                    "attn/proj/pos dropout and no LoRA / learnable-scalar "
-                    "adapters (constant-scalar bottleneck adapters are fused)")
+                    "attn/proj/pos dropout, no LoRA / learnable-scalar "
+                    "adapters (constant-scalar bottleneck adapters are "
+                    "fused), and tensor_parallel=1")
         self._train_step_fn = None
         self._eval_step_fn = None
         self._eval_state_cache = None
@@ -300,7 +305,7 @@ class SELDTask:
                     preds, new_bs = htsat_fused_train_forward(
                         self.model, variables, feats,
                         dropout_rng=jax.random.fold_in(key, 1),
-                        compute_dtype=self.model.dtype)
+                        compute_dtype=self.model.dtype, mesh=self.mesh)
                     losses = self.loss(preds, targets)
                     return losses[self.loss_type], (losses, new_bs)
                 out = self.model.apply(

@@ -136,6 +136,39 @@ def test_fused_train_forward_adapter_matches_flax():
     assert worst < 5e-4, worst
 
 
+def test_fused_train_forward_sharded():
+    """Multi-chip data parallelism: pallas_call is not GSPMD-partitionable
+    (a sharded jit all-gathers the batch and runs every kernel replicated),
+    so the fused train forward shard_maps each block over the data axis.
+    Loss and grads on an 8-device mesh must match the single-device run
+    (shard_map's transpose psums the replicated-param cotangents)."""
+    from jax.sharding import Mesh
+
+    model = _tiny(0.0)
+    r = np.random.default_rng(0)
+    x = jnp.asarray(r.standard_normal((8, 7, 241, 16)).astype(np.float32))
+    y = jnp.asarray(r.standard_normal((8, 24, 9)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    key = jax.random.PRNGKey(3)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+
+    def loss(params, mesh):
+        preds, _ = htsat_fused_train_forward(
+            model,
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            x, dropout_rng=key, compute_dtype=jnp.float32, interpret=True,
+            mesh=mesh)
+        return jnp.mean((preds["accdoa"] - y) ** 2)
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(p, None))(variables["params"])
+    l1, g1 = jax.value_and_grad(lambda p: loss(p, mesh))(variables["params"])
+    assert abs(float(l0) - float(l1)) < 1e-6, (float(l0), float(l1))
+    for (path, a), (_, b) in zip(jax.tree_util.tree_leaves_with_path(g0),
+                                 jax.tree_util.tree_leaves_with_path(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5, err_msg=str(path))
+
+
 def test_fused_train_forward_droppath_finite():
     """drop_path>0: masks differ from flax's draw order by design — just
     pin finiteness + shape + that masks actually vary with the rng."""
