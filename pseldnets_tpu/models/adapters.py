@@ -162,6 +162,22 @@ class AdaptConfig:
         return {"lora_r": int(self.conv_kwargs.get("r", 0)),
                 "lora_alpha": float(self.conv_kwargs.get("lora_alpha", 1.0))}
 
+    def kernels_support(self) -> bool:
+        """True when this config's per-block structure is expressible in the
+        fused Pallas kernels: no LoRA (rewrites qkv/proj/merge denses), and
+        any bottleneck adapters use a CONSTANT scalar, gelu, and no second
+        (new_adapter) bottleneck. Gates both the fused train path
+        (train/fused_forward) and fused adapter eval (serving/htsat)."""
+        if self.lora:
+            return False
+        if not (self.mlp_adapter or self.spatial_adapter):
+            return True
+        kw = self.adapt_kwargs
+        return (isinstance(kw.get("adapter_scalar", "learnable_scalar"),
+                           (int, float))
+                and str(kw.get("act_layer", "gelu")).lower() == "gelu"
+                and not kw.get("new_adapter"))
+
     def adapter_args(self) -> dict:
         kw = self.adapt_kwargs
         return {"mlp_ratio": float(kw.get("mlp_ratio", 0.25)),

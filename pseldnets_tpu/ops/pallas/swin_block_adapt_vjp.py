@@ -578,6 +578,18 @@ def _bwd_call(x, p, dp_masks, dout, *, H, W, nh, window, shift, scale,
     return dx, dp_tree
 
 
+def swin_block_adapt_eval(x, p, *, H, W, nh, window, shift, scale,
+                          compute_dtype=jnp.bfloat16, interpret=False):
+    """Eval-mode fused block with bottleneck adapters (drop-path masks = 1;
+    no VJP). Serving path for AdapterBit-tuned checkpoints
+    (serving/htsat.htsat_fused_forward routes here when the param tree
+    carries adapters)."""
+    masks = jnp.ones((x.shape[0], 2), jnp.float32)
+    return _fwd_call(x, p, masks, H=H, W=W, nh=nh, window=window,
+                     shift=shift, scale=scale, compute_dtype=compute_dtype,
+                     interpret=interpret)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10))
 def swin_block_train_adapt(x, p, dp_masks, H, W, nh, window, shift, scale,
                            compute_dtype, interpret=False):

@@ -74,6 +74,16 @@ def htsat_fused_forward(model: "heads.HTSAT", variables, x: jnp.ndarray,
     """
     p = variables["params"]
     stats = variables["batch_stats"]
+    ad = model.adapt
+    has_adapters = ad.mlp_adapter or ad.spatial_adapter
+    if has_adapters:
+        # AdapterBit-tuned checkpoints: blocks run the adapter fwd kernel
+        # (ops.pallas.swin_block_adapt_vjp — exact softmax, no merge fold;
+        # somewhat slower than the plain serving kernel but still fused).
+        # Callers must gate on model.adapt.kernels_support().
+        assert ad.kernels_support(), "adapters not expressible in kernels"
+        ad_scale = float(ad.adapt_kwargs["adapter_scalar"])
+        merge_fold = False
     kw = dict(model.encoder_kwargs)
     spec_size = kw.get("spec_size", 256)
     patch_stride = tuple(kw.get("patch_stride", (4, 4)))
@@ -174,18 +184,30 @@ def htsat_fused_forward(model: "heads.HTSAT", variables, x: jnp.ndarray,
             shift = 0 if j % 2 == 0 else base_shift
             last = j == depths[i] - 1
             fold_merge = merge_fold and last and i < num_layers - 1
-            x = swin_block_fused(
-                x, lp[f"blocks_{j}"], H=Hi, W=Wi, nh=num_heads[i],
-                window=w_i, shift=shift, compute_dtype=compute_dtype,
-                attn_impl=attn_impl, interpret=interpret, nomax=nomax,
-                merge_params=lp["downsample"] if fold_merge else None)
+            if has_adapters:
+                from ..ops.pallas.swin_block_adapt_vjp import \
+                    swin_block_adapt_eval
+
+                x = swin_block_adapt_eval(
+                    x, lp[f"blocks_{j}"], H=Hi, W=Wi, nh=num_heads[i],
+                    window=w_i, shift=shift, scale=ad_scale,
+                    compute_dtype=compute_dtype, interpret=interpret)
+            else:
+                x = swin_block_fused(
+                    x, lp[f"blocks_{j}"], H=Hi, W=Wi, nh=num_heads[i],
+                    window=w_i, shift=shift, compute_dtype=compute_dtype,
+                    attn_impl=attn_impl, interpret=interpret, nomax=nomax,
+                    merge_params=lp["downsample"] if fold_merge else None)
         if not merge_fold and i < num_layers - 1:
             # PatchMerging (models.htsat.PatchMerging) at the XLA level
             dm = lp["downsample"]
-            v = x.reshape(Bp, Hi, Wi, -1)
+            Bcur = x.shape[0]  # NOT Bp: only the conv patch-embed branch
+            # binds Bp (latent UnboundLocalError for einsum/kernel embeds
+            # with merge_fold=False — hit by the adapter eval path)
+            v = x.reshape(Bcur, Hi, Wi, -1)
             v = jnp.concatenate([v[:, 0::2, 0::2], v[:, 1::2, 0::2],
                                  v[:, 0::2, 1::2], v[:, 1::2, 1::2]], axis=-1)
-            v = v.reshape(Bp, (Hi // 2) * (Wi // 2), -1)
+            v = v.reshape(Bcur, (Hi // 2) * (Wi // 2), -1)
             v = _ln(v, dm["norm"])
             x = jnp.dot(v.astype(compute_dtype),
                         jnp.asarray(_dense_p(dm["reduction"])["kernel"],

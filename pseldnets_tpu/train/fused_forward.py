@@ -36,23 +36,8 @@ def supports_fused_train(model) -> bool:
 
     if not isinstance(model, heads.HTSAT):
         return False
-    ad = model.adapt
-    if ad.lora:
-        return False  # LoRA rewrites qkv/proj/merge denses — not in the kernels
-    if ad.mlp_adapter or ad.spatial_adapter:
-        # AdapterBit bottlenecks ride swin_block_adapt_vjp: constant scalar,
-        # gelu act, no second (new_adapter) bottleneck
-        kw_a = ad.adapt_kwargs
-        if not isinstance(kw_a.get("adapter_scalar", "learnable_scalar"),
-                          (int, float)):
-            return False
-        if str(kw_a.get("act_layer", "gelu")).lower() != "gelu":
-            return False
-        if kw_a.get("new_adapter"):
-            return False
-    elif not (ad.method == "none" or ad.use_adapter):
-        # use_adapter with position [] (mono_finetune) is a plain model;
-        # any other unknown method stays on flax
+    # LoRA, learnable-scalar / non-gelu / new_adapter bottlenecks: flax only
+    if not model.adapt.kernels_support():
         return False
     kw = dict(model.encoder_kwargs)
     return (kw.get("drop_rate", 0.0) == 0.0

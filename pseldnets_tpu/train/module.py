@@ -353,7 +353,11 @@ class SELDTask:
             # method=mono_adapter with position=[], i.e. a plain model)
             return not (ad.lora or ad.mlp_adapter or ad.spatial_adapter)
 
-        if isinstance(self.model, heads.HTSAT) and _plain(self.model.adapt):
+        if (isinstance(self.model, heads.HTSAT)
+                and self.model.adapt.kernels_support()):
+            # plain models ride the optimized serving kernels; AdapterBit
+            # trees route through the adapter eval kernel inside
+            # htsat_fused_forward (constant-scalar gelu adapters only)
             return serving.htsat_fused_forward, True
         if isinstance(self.model, heads.PASST):
             return serving.passt_fused_forward, True

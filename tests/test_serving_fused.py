@@ -75,6 +75,46 @@ def test_htsat_fused_forward_parity(rng):
     assert np.abs(got - ref).max() < 5e-5, np.abs(got - ref).max()
 
 
+def test_htsat_fused_forward_adapter_parity(rng):
+    """AdapterBit-tuned checkpoints serve fused too: htsat_fused_forward
+    routes blocks through the adapter eval kernel when the tree carries
+    bottleneck adapters (constant scalar)."""
+    import flax
+
+    from pseldnets_tpu.models.adapters import AdaptConfig
+
+    adapt = AdaptConfig({
+        "method": "adapter",
+        "adapt_kwargs": {"position": ["MlpAdapter", "SpatialAdapter"],
+                         "type": "adapter", "mlp_ratio": 0.5,
+                         "adapter_scalar": 0.1, "act_layer": "gelu"}})
+    assert adapt.kernels_support()
+    model = heads.HTSAT(
+        num_classes=5, in_channels=7, mel_bins=16, num_tracks=3,
+        tgt_output_frames=24, adapt=adapt,
+        encoder_kwargs=(("spec_size", 64), ("patch_size", 4),
+                        ("patch_stride", (4, 4)), ("embed_dim", 16),
+                        ("depths", (2, 2)), ("num_heads", (2, 4)),
+                        ("window_size", 4), ("mlp_ratio", 2.0),
+                        ("drop_path_rate", 0.0)))
+    x = jnp.asarray(rng.standard_normal((2, 7, 241, 16)).astype(np.float32) * 0.5)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    # randomize the zero-init adapter up-projections so wiring bugs show
+    flat = flax.traverse_util.flatten_dict(variables["params"])
+    for k in flat:
+        if "adapter" in k:
+            flat[k] = jnp.asarray(
+                rng.standard_normal(flat[k].shape).astype(np.float32) * 0.3)
+    variables = {"params": flax.traverse_util.unflatten_dict(flat),
+                 "batch_stats": variables["batch_stats"]}
+    ref = np.asarray(model.apply(variables, x, train=False)["multi_accdoa"])
+    got = np.asarray(htsat_fused_forward(model, variables, x,
+                                         compute_dtype=jnp.float32,
+                                         interpret=True)["multi_accdoa"])
+    assert got.shape == ref.shape
+    assert np.abs(got - ref).max() < 5e-5, np.abs(got - ref).max()
+
+
 def test_htsat_patch_embed_einsum_equals_conv(rng):
     """patch_embed="einsum" (one row-major reshape + einsum replacing
     reshape_wav2img + the 4x4/4 conv — kills ~2.3 ms of layout copies at
