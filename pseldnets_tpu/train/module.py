@@ -124,7 +124,8 @@ class SELDTask:
         self._repl = NamedSharding(self.mesh, P())
         self._batch_shard = NamedSharding(self.mesh, P("data"))
         # trainer.fused_forward: train with the fused Swin fwd+VJP kernels
-        # (train/fused_forward.py; HTSAT, adapters-free only). Default
+        # (train/fused_forward.py; HTSAT incl. constant-scalar AdapterBit
+        # via swin_block_adapt_vjp — LoRA/learnable-scalar flax). Default
         # "auto" (round-5 r9d full-step A/B: 46.92 vs 79.31 ms flax @B=32,
         # 1.69x — docs/PERF.md): fused on TPU backends whenever the model
         # supports it, flax otherwise. Explicit true enforces support
