@@ -253,3 +253,14 @@ def test_fused_forward_auto_knob(monkeypatch):
 
     with pytest.raises(ValueError):
         task(["adapt=lora", "trainer.fused_forward=true"])
+
+    # fused EVAL gate (r10d): plain and constant-scalar adapter HTSAT both
+    # route to the fused serving fn; LoRA and learnable-scalar stay flax
+    for extra, expect in (([], True), (["adapt=adapter"], True),
+                          (["adapt=mono_finetune"], True),
+                          (["adapt=lora"], False),
+                          (["adapt=adapter",
+                            "adapt.adapt_kwargs.adapter_scalar="
+                            "learnable_scalar"], False)):
+        fn, _ = task(extra)._select_fused_eval()
+        assert (fn is not None) is expect, extra
